@@ -1,0 +1,552 @@
+"""Schema AST → Catalyst expressions.
+
+The reference validates one document at a time with a recursive
+interpreter (``/root/reference/src/Data/Schematic/Validation.hs:193-244``).
+This engine inverts the loop to columnar: the whole validation walk is
+compiled **once** on the driver into a single ``select`` projection —
+one boolean predicate per (column × constraint), nested arrays handled
+with higher-order functions (``transform``/``flatten``) so everything
+stays inside whole-stage codegen. No shuffle, no per-row Python.
+
+Cost model at 100 TB scale:
+  * paths and error messages are built inside ``when(violated, …)``
+    guards, so string concatenation only materializes for *violating*
+    elements — the happy path evaluates predicates only;
+  * only the columns the spec mentions are referenced, so Catalyst
+    prunes the parquet/Iceberg scan to exactly those columns;
+  * TDFA-only regex dialects (the one thing Java regex can't run) fall
+    back to a vectorized Arrow-batched pandas UDF that runs the pure
+    interpreter over the affected subtree — never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    IntegralType,
+    LongType,
+    MapType,
+    NullType,
+    NumericType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .schema.ast import (
+    AEq,
+    AGe,
+    AGt,
+    ALe,
+    ALt,
+    NEq,
+    NGe,
+    NGt,
+    NLe,
+    NLt,
+    SArray,
+    SBoolean,
+    Schema,
+    SNull,
+    SNumber,
+    SObject,
+    SOptional,
+    SText,
+    SUnion,
+    TEnum,
+    TEq,
+    TGe,
+    TGt,
+    TLe,
+    TLt,
+    TRegex,
+    missing_field_message,
+)
+from .schema.interpret import validate_parsed
+
+VIOLATION_DDL = "array<struct<path:string,error:string>>"
+
+_EMPTY = None  # lazily built typed empty array
+
+
+def _empty_violations() -> Column:
+    return F.array().cast(VIOLATION_DDL)
+
+
+def _viol(path: Column, message: str) -> Column:
+    return F.struct(path.alias("path"), F.lit(message).alias("error"))
+
+
+def _compact(cells: list[Column]) -> Column:
+    """array of optional violation structs → dense violations array."""
+    if not cells:
+        return _empty_violations()
+    return F.array_compact(F.array(*cells))
+
+
+def _concat_all(arrays: list[Column]) -> Column:
+    arrays = [a for a in arrays if a is not None]
+    if not arrays:
+        return _empty_violations()
+    if len(arrays) == 1:
+        return arrays[0]
+    return F.concat(*arrays)
+
+
+# ---------------------------------------------------------------------------
+# Regex dialect routing
+# ---------------------------------------------------------------------------
+
+_POSIX_CLASS = re.compile(r"\[\[:\w+:\]\]|\[\[:\^?\w+:\]\]")
+
+
+def regex_needs_python(c: TRegex) -> bool:
+    """True when the pattern must run through Python ``re`` instead of
+    JVM ``rlike``. POSIX character classes (``[[:alpha:]]``) are the
+    TDFA/ERE syntax Java regex lacks (SURVEY §2.1 T6)."""
+    if c.dialect == "python":
+        return True
+    if c.dialect == "java":
+        return False
+    return bool(_POSIX_CLASS.search(c.pattern))
+
+
+def subtree_needs_python(schema: Schema) -> bool:
+    if isinstance(schema, SText):
+        return any(
+            isinstance(c, TRegex) and regex_needs_python(c)
+            for c in schema.constraints
+        )
+    if isinstance(schema, SArray):
+        return subtree_needs_python(schema.item)
+    if isinstance(schema, SObject):
+        return any(subtree_needs_python(s) for _, s in schema.fields)
+    if isinstance(schema, SOptional):
+        return subtree_needs_python(schema.inner)
+    if isinstance(schema, SUnion):
+        return False  # union validation is a no-op (Validation.hs:244)
+    return False
+
+
+def _normalize_py(v: Any) -> Any:
+    """Arrow→pandas materialization → plain Python (dicts/lists/scalars)."""
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        return [_normalize_py(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_normalize_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _normalize_py(x) for k, x in v.items()}
+    if isinstance(v, np.generic):
+        return v.item()
+    if v is getattr(__import__("pandas"), "NA", object()):
+        return None
+    return v
+
+
+def _interpreted_violations(schema: Schema, value: Column, path: Column) -> Column:
+    """Vectorized fallback: run the pure interpreter over an Arrow batch.
+
+    Used only for subtrees containing Python-dialect regexes; Arrow
+    transfers the whole subtree as one batch (no per-row Python calls
+    across the JVM boundary — BASELINE.json:15).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    captured = schema  # closure over the (picklable) dataclass AST
+
+    @pandas_udf(VIOLATION_DDL)
+    def _run(values: pd.Series, paths: pd.Series) -> pd.Series:
+        out = []
+        for v, p in zip(values, paths):
+            if v is None:
+                out.append([])
+                continue
+            viols: list[tuple[str, str]] = []
+            validate_parsed(captured, _normalize_py(v), (), viols)
+            prefix = p or ""
+            out.append([
+                {"path": prefix + vp, "error": msg} for vp, msg in viols
+            ])
+        return pd.Series(out)
+
+    return _run(value, path)
+
+
+# ---------------------------------------------------------------------------
+# Constraint predicates (the §2.1 operator table)
+# ---------------------------------------------------------------------------
+
+def _text_cell(c, value: Column, path: Column) -> Column:
+    ln = F.length(value)
+    if isinstance(c, TEq):
+        ok = ln == F.lit(c.n)
+    elif isinstance(c, TLt):
+        ok = ln < F.lit(c.n)
+    elif isinstance(c, TLe):
+        ok = ln <= F.lit(c.n)
+    elif isinstance(c, TGt):
+        ok = ln > F.lit(c.n)
+    elif isinstance(c, TGe):
+        ok = ln >= F.lit(c.n)
+    elif isinstance(c, TRegex):
+        ok = value.rlike(c.pattern)  # unanchored search = matchTest
+    elif isinstance(c, TEnum):
+        ok = value.isin(*c.values) if c.values else F.lit(False)
+    else:
+        raise TypeError(f"unknown text constraint {c!r}")
+    # null value → ok is null → when() falls through → no violation cell
+    # (structural layer reports the null; mirrors parse-before-validate)
+    return F.when(~ok, _viol(path, c.message()))
+
+
+def _number_cell(c, value: Column, path: Column) -> Column:
+    lit = F.lit(c.n)
+    if isinstance(c, NEq):
+        ok = value == lit
+    elif isinstance(c, NGt):
+        ok = value > lit
+    elif isinstance(c, NGe):
+        ok = value >= lit
+    elif isinstance(c, NLt):
+        ok = value < lit
+    elif isinstance(c, NLe):
+        ok = value <= lit
+    else:
+        raise TypeError(f"unknown number constraint {c!r}")
+    return F.when(~ok, _viol(path, c.message()))
+
+
+def _array_cell(c, value: Column, path: Column) -> Column:
+    sz = F.size(value)
+    if isinstance(c, AEq):
+        ok = sz == F.lit(c.n)
+    elif isinstance(c, AGt):
+        ok = sz > F.lit(c.n)
+    elif isinstance(c, AGe):
+        ok = sz >= F.lit(c.n)
+    elif isinstance(c, ALt):
+        ok = sz < F.lit(c.n)
+    elif isinstance(c, ALe):
+        ok = sz <= F.lit(c.n)
+    else:
+        raise TypeError(f"unknown array constraint {c!r}")
+    return F.when(~ok, _viol(path, c.message()))
+
+
+# ---------------------------------------------------------------------------
+# Violations (ValidationError layer) — Validation.hs:193-244 columnar
+# ---------------------------------------------------------------------------
+
+def compile_violations(schema: Schema, value: Column, path: Column) -> Column:
+    """array<struct<path,error>> of all constraint violations in the
+    subtree rooted at ``value``. Never null. Accumulates everything
+    (monoidal ErrorMap semantics — Validation.hs:26-28)."""
+    if subtree_needs_python(schema):
+        if isinstance(schema, SObject):
+            # route per field so one python-dialect regex doesn't drag
+            # sibling fields through the interpreter
+            parts = []
+            for name, fschema in schema.fields:
+                fpath = F.concat(path, F.lit("." + name))
+                parts.append(compile_violations(fschema, value[name], fpath))
+            body = _concat_all(parts)
+            return F.when(value.isNull(), _empty_violations()).otherwise(body)
+        return F.coalesce(
+            _interpreted_violations(schema, value, path),
+            _empty_violations(),
+        )
+    return _compile_violations_native(schema, value, path)
+
+
+def _compile_violations_native(
+    schema: Schema, value: Column, path: Column
+) -> Column:
+    if isinstance(schema, SText):
+        return _compact([
+            _text_cell(c, value, path) for c in schema.constraints
+        ])
+    if isinstance(schema, SNumber):
+        return _compact([
+            _number_cell(c, value, path) for c in schema.constraints
+        ])
+    if isinstance(schema, (SBoolean, SNull)):
+        return _empty_violations()  # vacuously valid — Validation.hs:217-218
+    if isinstance(schema, SOptional):
+        # Nothing short-circuits valid — Validation.hs:231-234
+        return F.when(value.isNull(), _empty_violations()).otherwise(
+            _compile_violations_native(schema.inner, value, path)
+        )
+    if isinstance(schema, SArray):
+        own = _compact([
+            _array_cell(c, value, path) for c in schema.constraints
+        ])
+        elem = _elem_violations(schema.item, value, path)
+        combined = _concat_all([own, elem]) if elem is not None else own
+        return F.when(value.isNull(), _empty_violations()).otherwise(combined)
+    if isinstance(schema, SObject):
+        parts = []
+        for name, fschema in schema.fields:
+            fpath = F.concat(path, F.lit("." + name))
+            parts.append(
+                _compile_violations_native(fschema, value[name], fpath)
+            )
+        body = _concat_all(parts)
+        return F.when(value.isNull(), _empty_violations()).otherwise(body)
+    if isinstance(schema, SUnion):
+        # reference parity: union validation is a NO-OP (Validation.hs:244)
+        return _empty_violations()
+    raise TypeError(f"unknown schema node {schema!r}")
+
+
+def _has_any_constraint(schema: Schema) -> bool:
+    if isinstance(schema, (SText, SNumber)):
+        return bool(schema.constraints)
+    if isinstance(schema, SArray):
+        return bool(schema.constraints) or _has_any_constraint(schema.item)
+    if isinstance(schema, SObject):
+        return any(_has_any_constraint(s) for _, s in schema.fields)
+    if isinstance(schema, SOptional):
+        return _has_any_constraint(schema.inner)
+    return False
+
+
+def _elem_violations(item: Schema, arr: Column, path: Column) -> Column | None:
+    """Per-element descent: ``transform(arr, (x,i) -> …)`` + ``flatten``.
+    Skipped entirely (None) when the element schema is constraint-free —
+    no point building empty arrays per element."""
+    if not _has_any_constraint(item):
+        return None
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: _compile_violations_native(
+                item,
+                x,
+                F.concat(path, F.lit("["), i.cast("string"), F.lit("]")),
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structural errors (DecodingError layer) — Schema.hs:525-567 columnar
+# ---------------------------------------------------------------------------
+
+def compile_structural(schema: Schema, value: Column, path: Column) -> Column:
+    """array<struct<path,error>> of structural (decode-layer) errors:
+    nulls in required positions. In a typed table, "missing key" and
+    "null" are both column-null; for required fields both map to the
+    reference's missing-field DecodingError (Schema.hs:536-566).
+
+    Unlike the reference's fail-fast aeson parse, we report all
+    structural errors per row (superset; verdict logic uses element 1
+    for the reference's single-message DecodingError)."""
+    if isinstance(schema, SObject):
+        cells: list[Column] = []
+        children: list[Column] = []
+        for name, fschema in schema.fields:
+            fv = value[name]
+            fpath = F.concat(path, F.lit("." + name))
+            if not isinstance(fschema, (SOptional, SNull, SUnion)):
+                cells.append(
+                    F.when(
+                        fv.isNull(),
+                        _viol(path, missing_field_message(name, fschema)),
+                    )
+                )
+            child = _structural_child(fschema, fv, fpath)
+            if child is not None:
+                children.append(child)
+        body = _concat_all([_compact(cells)] + children)
+        return F.when(value.isNull(), _empty_violations()).otherwise(body)
+    child = _structural_child(schema, value, path)
+    return child if child is not None else _empty_violations()
+
+
+def _structural_child(schema: Schema, value: Column, path: Column) -> Column | None:
+    """Structural errors strictly below a field (parent null already
+    handled by the owner). Returns None when the subtree can't produce
+    structural errors (pure scalars)."""
+    if isinstance(schema, SOptional):
+        inner = _structural_child(schema.inner, value, path)
+        if inner is None:
+            return None
+        return F.when(value.isNull(), _empty_violations()).otherwise(inner)
+    if isinstance(schema, SObject):
+        return compile_structural(schema, value, path)
+    if isinstance(schema, SArray):
+        elem_required = not isinstance(schema.item, (SOptional, SNull, SUnion))
+        elem_has_struct = isinstance(schema.item, (SObject, SArray)) or (
+            isinstance(schema.item, SOptional)
+            and isinstance(schema.item.inner, (SObject, SArray))
+        )
+        if not elem_required and not elem_has_struct:
+            return None
+
+        def per_elem(x: Column, i: Column) -> Column:
+            ep = F.concat(path, F.lit("["), i.cast("string"), F.lit("]"))
+            parts: list[Column] = []
+            if elem_required:
+                parts.append(_compact([
+                    F.when(
+                        x.isNull(),
+                        _viol(ep, f"expected {_kind_label(schema.item)}"),
+                    )
+                ]))
+            child = _structural_child(schema.item, x, ep)
+            if child is not None:
+                parts.append(
+                    F.when(x.isNull(), _empty_violations()).otherwise(child)
+                )
+            return _concat_all(parts)
+
+        return F.when(value.isNull(), _empty_violations()).otherwise(
+            F.flatten(F.transform(value, per_elem))
+        )
+    return None
+
+
+_KIND_LABELS = {
+    "text": "String", "number": "Number", "boolean": "Boolean",
+    "null": "Null", "array": "Array", "object": "Object",
+    "union": "Union", "optional": "Optional",
+}
+
+
+def _kind_label(schema: Schema) -> str:
+    return _KIND_LABELS[schema.kind]
+
+
+# ---------------------------------------------------------------------------
+# Pre-flight schema conformance — the compile-time structural guarantee
+# ---------------------------------------------------------------------------
+
+class SchemaMismatchError(TypeError):
+    """Table shape can't carry the spec — the analog of the reference's
+    compile-time structural guarantee (SURVEY §1.2). Lists every
+    incompatibility."""
+
+    def __init__(self, problems: list[str]) -> None:
+        super().__init__("; ".join(problems))
+        self.problems = problems
+
+
+def spark_type_for(schema: Schema) -> DataType:
+    """Canonical Spark type for a schema node (used for synthesis and
+    docs; conformance checking is structural, see :func:`check_conformance`)."""
+    if isinstance(schema, SText):
+        return StringType()
+    if isinstance(schema, SNumber):
+        return DoubleType()
+    if isinstance(schema, SBoolean):
+        return BooleanType()
+    if isinstance(schema, SNull):
+        return NullType()
+    if isinstance(schema, SArray):
+        return ArrayType(spark_type_for(schema.item))
+    if isinstance(schema, SObject):
+        return StructType([
+            StructField(n, spark_type_for(s), True)
+            for n, s in schema.fields
+        ])
+    if isinstance(schema, SOptional):
+        return spark_type_for(schema.inner)
+    if isinstance(schema, SUnion):
+        return StructType([
+            StructField(f"alt_{i}", spark_type_for(a), True)
+            for i, a in enumerate(schema.alternatives)
+        ])
+    raise TypeError(f"unknown schema node {schema!r}")
+
+
+def check_conformance(
+    schema: SObject, df_schema: StructType, path: str = "$"
+) -> list[str]:
+    """Structural compatibility of a DataFrame schema with a spec.
+    Extra DataFrame columns are fine (pass-through); spec fields must
+    exist with a compatible type. Returns problem list (empty = ok)."""
+    problems: list[str] = []
+    by_name = {f.name: f for f in df_schema.fields}
+    for name, fschema in schema.fields:
+        f = by_name.get(name)
+        fpath = f"{path}.{name}"
+        if f is None:
+            if not isinstance(fschema, (SOptional, SNull)):
+                problems.append(f"{fpath}: required column missing")
+            continue
+        problems.extend(_type_conforms(fschema, f.dataType, fpath))
+    return problems
+
+
+def _type_conforms(schema: Schema, dt: DataType, path: str) -> list[str]:
+    if isinstance(schema, SOptional):
+        return _type_conforms(schema.inner, dt, path)
+    if isinstance(schema, SNull):
+        return []  # any type can hold nulls
+    if isinstance(schema, SUnion):
+        # accept anything a branch accepts
+        for alt in schema.alternatives:
+            if not _type_conforms(alt, dt, path):
+                return []
+        return [f"{path}: type {dt.simpleString()} matches no union branch"]
+    if isinstance(schema, SText):
+        if isinstance(dt, StringType):
+            return []
+        return [f"{path}: expected string, got {dt.simpleString()}"]
+    if isinstance(schema, SNumber):
+        if isinstance(dt, NumericType):
+            return []
+        return [f"{path}: expected numeric, got {dt.simpleString()}"]
+    if isinstance(schema, SBoolean):
+        if isinstance(dt, BooleanType):
+            return []
+        return [f"{path}: expected boolean, got {dt.simpleString()}"]
+    if isinstance(schema, SArray):
+        if not isinstance(dt, ArrayType):
+            return [f"{path}: expected array, got {dt.simpleString()}"]
+        return _type_conforms(schema.item, dt.elementType, path + "[]")
+    if isinstance(schema, SObject):
+        if not isinstance(dt, StructType):
+            return [f"{path}: expected struct, got {dt.simpleString()}"]
+        return check_conformance(schema, dt, path)
+    raise TypeError(f"unknown schema node {schema!r}")
+
+
+def compile_regex_preflight(schema: Schema) -> None:
+    """Reject regex patterns that compile in neither dialect — fail at
+    spec-compile time, not mid-job on an executor."""
+    if isinstance(schema, SText):
+        for c in schema.constraints:
+            if isinstance(c, TRegex):
+                try:
+                    re.compile(c.pattern)
+                except re.error as e:
+                    raise ValueError(
+                        f"invalid regex {c.pattern!r}: {e}"
+                    ) from None
+    elif isinstance(schema, SArray):
+        compile_regex_preflight(schema.item)
+    elif isinstance(schema, SObject):
+        for _, s in schema.fields:
+            compile_regex_preflight(s)
+    elif isinstance(schema, SOptional):
+        compile_regex_preflight(schema.inner)
+    elif isinstance(schema, SUnion):
+        for a in schema.alternatives:
+            compile_regex_preflight(a)
