@@ -1,0 +1,17 @@
+from .drift import (  # noqa: F401
+    DriftReport,
+    category_counts,
+    chi2_drift,
+    chi2_sf,
+    chi_square_from_counts,
+    ks_drift,
+    ks_from_histograms,
+    numeric_histogram,
+)
+from .referential import dangling_rows, referential_report  # noqa: F401
+from .stats import column_stats, length_histogram  # noqa: F401
+from .uniqueness import (  # noqa: F401
+    duplicate_keys,
+    duplicate_keys_salted,
+    uniqueness_report,
+)

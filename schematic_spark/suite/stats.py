@@ -1,0 +1,123 @@
+"""Per-column statistics — engine-level operator mandated by the north
+rule (BASELINE.json:6: "per-column stats (null rate, min/max, length
+histograms)"). Absent in the reference (its only fold is the error-map
+monoid, Validation.hs:26-28).
+
+All stats for all columns compute in ONE hash-aggregate pass (partial +
+final automatic, map-side combine), so the cost at 100 TB is a single
+scan + a tiny all-to-one reduce. Length histograms are a second
+single-shuffle ``groupBy`` per requested column, log2-bucketed so the
+bucket count is bounded (~64) regardless of data scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, NumericType, StringType
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-format stats table: one row per column with
+    (column, n_rows, n_null, null_rate, n_distinct_approx, min, max, avg,
+    avg_length). min/max/avg are strings for heterogeneous columns.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = columns or list(fields)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        dt = fields[c]
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nnull"))
+        aggs.append(F.approx_count_distinct(col).alias(f"{c}__ndist"))
+        if isinstance(dt, NumericType):
+            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+            aggs.append(F.avg(col).cast("string").alias(f"{c}__avg"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__avglen"))
+        elif isinstance(dt, StringType):
+            aggs.append(F.min(col).alias(f"{c}__min"))
+            aggs.append(F.max(col).alias(f"{c}__max"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__avg"))
+            aggs.append(F.avg(F.length(col)).alias(f"{c}__avglen"))
+        elif isinstance(dt, ArrayType):
+            aggs.append(F.min(F.size(col)).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(F.size(col)).cast("string").alias(f"{c}__max"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__avg"))
+            aggs.append(F.avg(F.size(col)).alias(f"{c}__avglen"))
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__avg"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__avglen"))
+    wide = df.agg(*aggs)
+    # one wide row → long format on the driver side of the agg (cheap:
+    # stack() over a single row, no extra scan)
+    stack_args = []
+    for c in columns:
+        stack_args.append(
+            f"'{c}', `{c}__nnull`, `{c}__ndist`, `{c}__min`, `{c}__max`, "
+            f"`{c}__avg`, `{c}__avglen`"
+        )
+    stacked = wide.selectExpr(
+        "n_rows",
+        f"stack({len(columns)}, {', '.join(stack_args)}) as "
+        "(column, n_null, n_distinct_approx, min, max, avg, avg_length)",
+    )
+    return stacked.select(
+        "column",
+        "n_rows",
+        "n_null",
+        (F.col("n_null") / F.col("n_rows")).alias("null_rate"),
+        "n_distinct_approx",
+        "min",
+        "max",
+        "avg",
+        "avg_length",
+    )
+
+
+def length_histogram(
+    df: DataFrame, column: str, *, log2_buckets: bool = True
+) -> DataFrame:
+    """Histogram of string length (or array size) — (bucket, lo, hi, n).
+
+    ``log2_buckets`` caps cardinality at ~64 buckets regardless of scale;
+    exact-length histograms (log2_buckets=False) are fine for bounded
+    domains like span counts.
+    """
+    dt = dict((f.name, f.dataType) for f in df.schema.fields)[column]
+    ln = (
+        F.size(F.col(column))
+        if isinstance(dt, ArrayType)
+        else F.length(F.col(column))
+    )
+    if log2_buckets:
+        bucket = (
+            F.when(ln.isNull(), F.lit(-1))
+            .when(ln <= 0, F.lit(0))
+            .otherwise(F.floor(F.log2(ln.cast("double"))) + 1)
+            .cast("int")
+        )
+        out = (
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "lo",
+                F.when(F.col("bucket") <= 0, F.lit(None))
+                 .otherwise(F.pow(F.lit(2.0), F.col("bucket") - 1).cast("long")),
+            )
+            .withColumn(
+                "hi",
+                F.when(F.col("bucket") <= 0, F.lit(None))
+                 .otherwise((F.pow(F.lit(2.0), F.col("bucket")) - 1).cast("long")),
+            )
+        )
+        return out.select("bucket", "lo", "hi", "n").orderBy("bucket")
+    return (
+        df.select(ln.alias("length"))
+        .groupBy("length")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("length")
+    )

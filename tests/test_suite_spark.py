@@ -1,0 +1,236 @@
+"""Table-level constraint suite + generator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from schematic_spark.generator import (
+    GeneratorConfig,
+    INTERLEAVED_SPEC,
+    expected_doc,
+    exploded_spans,
+    interleaved_documents,
+    media_dim,
+    non_monotonic_docs,
+    span_sequence_mismatches,
+)
+from schematic_spark.suite import (
+    chi2_drift,
+    chi2_sf,
+    chi_square_from_counts,
+    column_stats,
+    dangling_rows,
+    duplicate_keys,
+    duplicate_keys_salted,
+    ks_drift,
+    ks_from_histograms,
+    length_histogram,
+    referential_report,
+    uniqueness_report,
+)
+from schematic_spark.validation import validate
+
+CFG = GeneratorConfig(n_docs=400, seed=42, n_media=200)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return interleaved_documents(spark, CFG).cache()
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return media_dim(spark, CFG.n_media).cache()
+
+
+class TestGenerator:
+    def test_deterministic(self, spark):
+        a = interleaved_documents(spark, CFG).collect()
+        b = interleaved_documents(spark, CFG).collect()
+        assert a == b
+
+    def test_python_twin_matches(self, spark, docs):
+        """Span-sequence equality (kind, text, media_ref, order) between
+        the Spark generator and its Python twin — BASELINE.json:15."""
+        expected_rows = [expected_doc(i, CFG) for i in range(CFG.n_docs)]
+        exp_df = spark.createDataFrame(
+            [
+                (
+                    d["doc_id"],
+                    [
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in d["spans"]
+                    ],
+                )
+                for d in expected_rows
+            ],
+            docs.schema,
+        )
+        # doc_ids can be duplicated by design → compare sequences per
+        # (doc_id, occurrence); simplest exact check: both exploded sets
+        # (doc_id may repeat; mismatch finder joins on doc_id+pos which
+        # is ambiguous for dup docs — dups copy content, so identical)
+        mism = span_sequence_mismatches(docs, exp_df)
+        assert mism.count() == 0
+
+    def test_violation_classes_present(self, docs, media):
+        res = validate(docs, INTERLEAVED_SPEC)
+        errors = {r["error"] for r in res.violations().collect()}
+        assert 'must be one of ["text","media"]' in errors  # bad kind
+        assert "length should be >= 1" in errors            # empty spans/text
+        # oversized spans
+        assert any("length should be <=" in e for e in errors)
+
+    def test_natural_interleaving(self, docs):
+        # even positions text, odd media (except injected bad kinds)
+        ex = exploded_spans(docs)
+        bad = ex.where(
+            (F.col("kind") == "text") & (F.col("pos") % 2 == 1)
+            | (F.col("kind") == "media") & (F.col("pos") % 2 == 0)
+        )
+        assert bad.count() == 0  # 'bogus' kind is neither
+
+
+class TestUniqueness:
+    def test_duplicates_found(self, docs):
+        dups = duplicate_keys(docs, "doc_id").collect()
+        assert len(dups) > 0
+        assert all(r["n_dup"] == 2 for r in dups)  # dup copies prev doc
+
+    def test_salted_agrees_with_plain(self, docs):
+        plain = {
+            (r["doc_id"], r["n_dup"])
+            for r in duplicate_keys(docs, "doc_id").collect()
+        }
+        salted = {
+            (r["doc_id"], r["n_dup"])
+            for r in duplicate_keys_salted(docs, "doc_id", salt_buckets=8)
+            .collect()
+        }
+        assert plain == salted
+
+    def test_report(self, docs):
+        r = uniqueness_report(docs, "doc_id").first()
+        assert r["n_rows"] == CFG.n_docs
+        assert r["n_dup_rows"] == 2 * r["n_dup_keys"]
+        assert r["n_distinct"] == CFG.n_docs - r["n_dup_keys"]
+        assert not r["unique_ok"]
+
+
+class TestReferential:
+    def test_dangling_media_refs(self, spark, docs, media):
+        spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
+        dang = dangling_rows(spans, media, "media_ref", broadcast=True)
+        got = dang.count()
+        # ground truth from the python twin
+        truth = 0
+        seen = set()
+        for i in range(CFG.n_docs):
+            d = expected_doc(i, CFG)
+            for s in d["spans"]:
+                if s["media_ref"] is not None and not _ref_in_dim(s["media_ref"]):
+                    truth += 1
+        assert got == truth > 0
+
+    def test_report_ok_case(self, spark, media):
+        fact = media.select(F.col("media_ref"))
+        r = referential_report(fact, media, "media_ref").first()
+        assert r["ref_ok"] and r["n_dangling"] == 0
+
+    def test_null_fk_not_dangling(self, spark, media):
+        fact = spark.createDataFrame(
+            [(None,), (media.first()["media_ref"],)], "media_ref string"
+        )
+        r = referential_report(fact, media, "media_ref").first()
+        assert r["n_null_fk"] == 1 and r["n_dangling"] == 0
+
+
+def _ref_in_dim(ref: str) -> bool:
+    from schematic_spark.generator import media_uuid_py
+
+    return any(media_uuid_py(m) == ref for m in range(CFG.n_media))
+
+
+class TestStats:
+    def test_column_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, "ab", [1, 2]), (None, "abcd", []), (3.0, None, None)],
+            "x double, s string, a array<int>",
+        )
+        rows = {r["column"]: r for r in column_stats(df).collect()}
+        assert rows["x"]["n_null"] == 1
+        assert rows["x"]["min"] == "1.0" and rows["x"]["max"] == "3.0"
+        assert rows["s"]["avg_length"] == 3.0
+        assert rows["a"]["n_null"] == 1
+        assert math.isclose(rows["x"]["null_rate"], 1 / 3)
+
+    def test_length_histogram(self, spark):
+        df = spark.createDataFrame(
+            [("",), ("a",), ("ab",), ("abc",), (None,)], "s string"
+        )
+        got = {r["bucket"]: r["n"] for r in length_histogram(df, "s").collect()}
+        # len: 0→bucket0, 1→bucket1, 2→bucket2, 3→bucket2, null→-1
+        assert got == {-1: 1, 0: 1, 1: 1, 2: 2}
+
+
+class TestDrift:
+    def test_ks_identical(self):
+        h = {0: 100, 1: 200, 2: 50}
+        d, p = ks_from_histograms(h, h)
+        assert d == 0.0 and p > 0.99
+
+    def test_ks_shifted(self):
+        h1 = {i: 100 for i in range(10)}
+        h2 = {i + 5: 100 for i in range(10)}
+        d, p = ks_from_histograms(h1, h2)
+        assert d == 0.5 and p < 1e-6
+
+    def test_chi2_sf_known_values(self):
+        # chi2 sf(3.84, 1) ≈ 0.05; sf(0, k) = 1
+        assert abs(chi2_sf(3.841, 1) - 0.05) < 1e-3
+        assert chi2_sf(0.0, 5) == 1.0
+        # sf at the mean is around 0.4-0.6
+        assert 0.3 < chi2_sf(5.0, 5) < 0.6
+
+    def test_chi_square_counts(self):
+        obs = {"a": 100, "b": 200}
+        stat, dof, p = chi_square_from_counts(obs, obs)
+        assert stat == 0.0 and p == 1.0 and dof == 1
+        stat2, _, p2 = chi_square_from_counts(
+            {"a": 300, "b": 0}, {"a": 150, "b": 150}
+        )
+        assert stat2 > 100 and p2 < 1e-6
+
+    def test_spark_drift_end_to_end(self, spark):
+        base = spark.range(2000).select(
+            (F.pmod(F.col("id"), 100)).cast("double").alias("v"),
+            F.when(F.pmod(F.col("id"), 10) < 5, "a").otherwise("b")
+            .alias("c"),
+        )
+        same = ks_drift(base, base, "v", lo=0, hi=100)
+        assert not same.drifted
+        shifted = base.select((F.col("v") + 50).alias("v"), "c")
+        moved = ks_drift(shifted, base, "v", lo=0, hi=150)
+        assert moved.drifted
+        cat_same = chi2_drift(base, base, "c")
+        assert not cat_same.drifted
+        skewed = base.select(
+            "v", F.when(F.col("c") == "a", "a").otherwise("a").alias("c")
+        )
+        cat_moved = chi2_drift(skewed, base, "c")
+        assert cat_moved.drifted
+
+
+class TestSpanOrder:
+    def test_non_monotonic_detection(self, spark, docs):
+        got = non_monotonic_docs(docs).count()
+        truth = 0
+        for i in range(CFG.n_docs):
+            d = expected_doc(i, CFG)
+            offs = [s["offset"] for s in d["spans"]]
+            if any(b <= a for a, b in zip(offs, offs[1:])):
+                truth += 1
+        assert got == truth > 0
