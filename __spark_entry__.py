@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full validation of the documents table at
+sf0.001 returning the per-verdict summary.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + the training-pipeline operators); DuckDB oracles run on
+the same parquet views at sf0.01. Column names/aliases match between
+both sides; floats are rounded identically.
 """
 
 from __future__ import annotations
@@ -12,27 +14,591 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared spec fragments
+# ---------------------------------------------------------------------------
+
+_DOC_LANGS = ("en", "de", "fr", "es")  # 'zh' excluded → real violations
+_EVENT_TYPES = ("click", "view", "purchase", "signup")  # 'error' excluded
+
+_LANG_ENUM_MSG = 'must be one of ["en","de","fr","es"]'
+_EVENT_ENUM_MSG = 'must be one of ["click","view","purchase","signup"]'
+
+
+def _documents_spec():
+    from schematic_spark.schema import (
+        NGe, NLe, SNumber, SObject, SText, TEnum, TGe,
+    )
+
+    return SObject((
+        ("text", SText((TGe(1),))),
+        ("lang", SText((TEnum(_DOC_LANGS),))),
+        ("n_chars", SNumber((NGe(0), NLe(500)))),
+    ))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate sf0.001 documents against the spec; return the
+    per-verdict summary (verdict, n_rows, n_violations)."""
+    from schematic_spark.validation import validate
+
+    docs = _read(spark, SF_SMOKE, "documents")
+    return validate(docs, _documents_spec()).summary()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_validate_documents(spark, sf_dir):
+    from schematic_spark.validation import validate
+
+    docs = _read(spark, sf_dir, "documents")
+    return validate(docs, _documents_spec()).violations("doc_id")
+
+
+def _q_verdict_summary_documents(spark, sf_dir):
+    from schematic_spark.validation import validate
+
+    docs = _read(spark, sf_dir, "documents")
+    return validate(docs, _documents_spec()).summary()
+
+
+def _q_validate_events(spark, sf_dir):
+    from schematic_spark.schema import NGe, SNumber, SObject, SText, TEnum
+    from schematic_spark.validation import validate
+
+    spec = SObject((
+        ("event_type", SText((TEnum(_EVENT_TYPES),))),
+        ("value", SNumber((NGe(0),))),
+    ))
+    ev = _read(spark, sf_dir, "events")
+    return validate(ev, spec).violations("event_id")
+
+
+def _q_column_stats_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndist"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__nnull`, `{c}__ndist`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) as "
+        "(column, n_null, n_distinct, min_str, max_str)",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def _q_duplicate_user_ids(spark, sf_dir):
+    from schematic_spark.suite import duplicate_keys
+
+    ev = _read(spark, sf_dir, "events")
+    return duplicate_keys(ev, "user_id")
+
+
+def _q_duplicate_user_ids_salted(spark, sf_dir):
+    from schematic_spark.suite import duplicate_keys_salted
+
+    ev = _read(spark, sf_dir, "events")
+    return duplicate_keys_salted(ev, "user_id", salt_buckets=16)
+
+
+def _q_referential_events_customer(spark, sf_dir):
+    from schematic_spark.suite import referential_report
+
+    ev = _read(spark, sf_dir, "events")
+    cust = _read(spark, sf_dir, "customer")
+    return referential_report(
+        ev, cust, {"user_id": "c_custkey"}, broadcast=True
+    )
+
+
+def _q_dangling_lineitem_orders(spark, sf_dir):
+    from schematic_spark.suite import dangling_rows
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    # restrict the dim to force real dangling rows: orders below median key
+    dim = orders.where(F.col("o_orderkey") % 2 == 0)
+    return (
+        dangling_rows(li, dim, {"l_orderkey": "o_orderkey"}, broadcast=True)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _q_orders_priority_stats(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        ).cast("string").alias("sum_price"),
+    )
+
+
+def _q_length_histogram_documents(spark, sf_dir):
+    from schematic_spark.suite import length_histogram
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_histogram(docs, "text").select("bucket", "lo", "hi", "n")
+
+
+def _q_embedding_dims(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.groupBy(F.size("embedding").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_embedding_size_violations(spark, sf_dir):
+    from schematic_spark.schema import AEq, SArray, SNumber, SObject
+    from schematic_spark.validation import validate
+
+    spec = SObject((("embedding", SArray(SNumber(), (AEq(64),))),))
+    emb = _read(spark, sf_dir, "embeddings")
+    return validate(emb, spec).violations("vec_id")
+
+
+def _q_token_counts_documents(spark, sf_dir):
+    from schematic_spark.functions import (
+        bpe_ish_token_count, whitespace_token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _q_quality_documents(spark, sf_dir):
+    from schematic_spark.functions import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return docs.select(
+        "doc_id",
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["digit_ratio"], 6).alias("digit_ratio"),
+        f["n_tokens"].alias("n_tokens"),
+    )
+
+
+def _q_lang_pred_documents(spark, sf_dir):
+    from schematic_spark.functions import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_cosine_topk_embeddings(spark, sf_dir):
+    from schematic_spark.functions import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").first()
+    query = [float(x) for x in qrow["embedding"]]
+    top = cosine_topk(emb, query, k=10)
+    return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine"))
+
+
+def _q_events_value_histogram(spark, sf_dir):
+    from schematic_spark.suite import numeric_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        numeric_histogram(ev, "value", lo=0.0, hi=500.0, n_buckets=20)
+        .select("bucket", "n")
+    )
+
+
+def _q_exact_dup_groups_documents(spark, sf_dir):
+    from schematic_spark.functions.text import normalized_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(normalized_text("text").alias("norm"))
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .select("n_docs", F.substring("norm", 1, 40).alias("norm_prefix"))
+    )
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+def _q_minhash_near_dups_documents(spark, sf_dir):
+    from schematic_spark.functions import minhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16
+    )
+
+
+def _q_validate_interleaved(spark, sf_dir):
+    """Generated interleaved-docs table (north-rule input) through the
+    full validation; per-verdict summary. Generator is deterministic —
+    rows-only check still pins counts across rounds."""
+    from schematic_spark.generator import (
+        GeneratorConfig, INTERLEAVED_SPEC, interleaved_documents,
+    )
+    from schematic_spark.validation import validate
+
+    docs = interleaved_documents(
+        spark, GeneratorConfig(n_docs=5000, seed=42, n_media=500)
+    )
+    return validate(docs, INTERLEAVED_SPEC).summary().orderBy("verdict")
+
+
+def _q_interleaved_suite(spark, sf_dir):
+    """Uniqueness + referential + span-order over the interleaved table —
+    one row of suite verdict counts."""
+    from schematic_spark.generator import (
+        GeneratorConfig, exploded_spans, interleaved_documents, media_dim,
+        non_monotonic_docs,
+    )
+    from schematic_spark.suite import dangling_rows, duplicate_keys_salted
+
+    cfg = GeneratorConfig(n_docs=5000, seed=42, n_media=500)
+    docs = interleaved_documents(spark, cfg).cache()
+    media = media_dim(spark, cfg.n_media)
+    n_dup = duplicate_keys_salted(docs, "doc_id", salt_buckets=16).count()
+    spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
+    n_dangling = dangling_rows(spans, media, "media_ref", broadcast=True) \
+        .count()
+    n_disorder = non_monotonic_docs(docs).count()
+    return spark.createDataFrame(
+        [(n_dup, n_dangling, n_disorder)],
+        "n_dup_doc_ids long, n_dangling_media long, n_out_of_order long",
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    from schematic_spark.functions import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 500)
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+    )
+
+
+def _q_simhash_documents(spark, sf_dir):
+    from schematic_spark.functions import simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_documents": _q_validate_documents,
+        "verdict_summary_documents": _q_verdict_summary_documents,
+        "validate_events": _q_validate_events,
+        "column_stats_documents": _q_column_stats_documents,
+        "duplicate_user_ids": _q_duplicate_user_ids,
+        "duplicate_user_ids_salted": _q_duplicate_user_ids_salted,
+        "referential_events_customer": _q_referential_events_customer,
+        "dangling_lineitem_orders": _q_dangling_lineitem_orders,
+        "orders_priority_stats": _q_orders_priority_stats,
+        "length_histogram_documents": _q_length_histogram_documents,
+        "embedding_dims": _q_embedding_dims,
+        "embedding_size_violations": _q_embedding_size_violations,
+        "token_counts_documents": _q_token_counts_documents,
+        "quality_documents": _q_quality_documents,
+        "lang_pred_documents": _q_lang_pred_documents,
+        "cosine_topk_embeddings": _q_cosine_topk_embeddings,
+        "events_value_histogram": _q_events_value_histogram,
+        "exact_dup_groups_documents": _q_exact_dup_groups_documents,
+        # rows-only (non-SQL-expressible: LSH banding, generator,
+        # pandas-UDF media decode, simhash signatures)
+        "minhash_near_dups_documents": _q_minhash_near_dups_documents,
+        "validate_interleaved": _q_validate_interleaved,
+        "interleaved_suite": _q_interleaved_suite,
+        "media_features": _q_media_features,
+        "simhash_documents": _q_simhash_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "that", "with", "this", "have"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "es": ("el", "los", "las", "una", "por", "con", "para", "este"),
+    "it": ("il", "che", "di", "della", "per", "con", "sono", "una"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    pat = r"(?i)\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b"
+    return (
+        f"len(regexp_extract_all(text, '{pat}')) / "
+        "greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = ",\n        ".join(
+        f"{_lang_score_sql(l)} AS s_{l}" for l in _LANG_MARKERS
+    )
+    lang_pred_cases = "\n            ".join(
+        f"WHEN s_{l} >= 0.01 AND s_{l} = best THEN '{l}'"
+        for l in _LANG_MARKERS
+    )
+    return {
+        "validate_documents": f"""
+            SELECT doc_id, '.text' AS json_path,
+                   'length should be >= 1' AS error
+            FROM documents WHERE NOT (length(text) >= 1)
+            UNION ALL
+            SELECT doc_id, '.lang', '{_LANG_ENUM_MSG}'
+            FROM documents WHERE lang NOT IN ('en','de','fr','es')
+            UNION ALL
+            SELECT doc_id, '.n_chars', 'should be >= 0'
+            FROM documents WHERE NOT (n_chars >= 0)
+            UNION ALL
+            SELECT doc_id, '.n_chars', 'should be <= 500'
+            FROM documents WHERE NOT (n_chars <= 500)
+        """,
+        "verdict_summary_documents": f"""
+            WITH v AS (
+              SELECT
+                (CASE WHEN text IS NULL OR lang IS NULL
+                      OR n_chars IS NULL THEN 1 ELSE 0 END) AS ns,
+                (CASE WHEN text IS NOT NULL
+                      AND NOT (length(text) >= 1) THEN 1 ELSE 0 END)
+              + (CASE WHEN lang IS NOT NULL AND lang NOT IN
+                      ('en','de','fr','es') THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars IS NOT NULL
+                      AND NOT (n_chars >= 0) THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars IS NOT NULL
+                      AND NOT (n_chars <= 500) THEN 1 ELSE 0 END) AS nv
+              FROM documents)
+            SELECT CASE WHEN ns > 0 THEN 'DecodingError'
+                        WHEN nv > 0 THEN 'ValidationError'
+                        ELSE 'Valid' END AS verdict,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(nv) AS BIGINT) AS n_violations
+            FROM v GROUP BY 1
+        """,
+        "validate_events": f"""
+            SELECT event_id, '.event_type' AS json_path,
+                   '{_EVENT_ENUM_MSG}' AS error
+            FROM events
+            WHERE event_type NOT IN ('click','view','purchase','signup')
+            UNION ALL
+            SELECT event_id, '.value', 'should be >= 0'
+            FROM events WHERE NOT (value >= 0)
+        """,
+        "column_stats_documents": """
+            WITH cols(c) AS (VALUES ('doc_id'), ('text'), ('lang'),
+                                    ('source'), ('n_chars'))
+            SELECT c AS column,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+                   CASE c
+                     WHEN 'doc_id' THEN (SELECT CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) FROM documents)
+                     WHEN 'text' THEN (SELECT CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) FROM documents)
+                     WHEN 'lang' THEN (SELECT CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) FROM documents)
+                     WHEN 'source' THEN (SELECT CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT) FROM documents)
+                     WHEN 'n_chars' THEN (SELECT CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT) FROM documents)
+                   END AS n_null,
+                   CASE c
+                     WHEN 'doc_id' THEN (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents)
+                     WHEN 'text' THEN (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM documents)
+                     WHEN 'lang' THEN (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+                     WHEN 'source' THEN (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+                     WHEN 'n_chars' THEN (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
+                   END AS n_distinct,
+                   CASE c
+                     WHEN 'doc_id' THEN (SELECT CAST(min(doc_id) AS VARCHAR) FROM documents)
+                     WHEN 'text' THEN (SELECT min(text) FROM documents)
+                     WHEN 'lang' THEN (SELECT min(lang) FROM documents)
+                     WHEN 'source' THEN (SELECT min(source) FROM documents)
+                     WHEN 'n_chars' THEN (SELECT CAST(min(n_chars) AS VARCHAR) FROM documents)
+                   END AS min_str,
+                   CASE c
+                     WHEN 'doc_id' THEN (SELECT CAST(max(doc_id) AS VARCHAR) FROM documents)
+                     WHEN 'text' THEN (SELECT max(text) FROM documents)
+                     WHEN 'lang' THEN (SELECT max(lang) FROM documents)
+                     WHEN 'source' THEN (SELECT max(source) FROM documents)
+                     WHEN 'n_chars' THEN (SELECT CAST(max(n_chars) AS VARCHAR) FROM documents)
+                   END AS max_str
+            FROM cols
+        """,
+        "duplicate_user_ids": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_dup
+            FROM events GROUP BY user_id HAVING count(*) > 1
+        """,
+        "duplicate_user_ids_salted": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_dup
+            FROM events GROUP BY user_id HAVING count(*) > 1
+        """,
+        "referential_events_customer": """
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+              (SELECT CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+               FROM events) AS n_null_fk,
+              (SELECT CAST(count(*) AS BIGINT) FROM events e
+               LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON e.user_id = c.c_custkey
+               WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL)
+               AS n_dangling,
+              ((SELECT count(*) FROM events e
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON e.user_id = c.c_custkey
+                WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0)
+               AS ref_ok
+        """,
+        "dangling_lineitem_orders": """
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+                       WHERE o_orderkey % 2 = 0) o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+            GROUP BY l_orderkey
+        """,
+        "orders_priority_stats": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                        AS VARCHAR) AS sum_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "length_histogram_documents": """
+            WITH b AS (
+              SELECT CASE WHEN text IS NULL THEN -1
+                          WHEN length(text) <= 0 THEN 0
+                          ELSE CAST(floor(log2(length(text))) AS INT) + 1
+                     END AS bucket
+              FROM documents)
+            SELECT bucket,
+                   CASE WHEN bucket <= 0 THEN NULL
+                        ELSE CAST(pow(2, bucket - 1) AS BIGINT) END AS lo,
+                   CASE WHEN bucket <= 0 THEN NULL
+                        ELSE CAST(pow(2, bucket) - 1 AS BIGINT) END AS hi,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "embedding_dims": """
+            SELECT CAST(len(embedding) AS INT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY 1
+        """,
+        "embedding_size_violations": """
+            SELECT vec_id, '.embedding' AS json_path,
+                   'length should be == 64' AS error
+            FROM embeddings WHERE len(embedding) <> 64
+        """,
+        "token_counts_documents": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(regexp_split_to_array(trim(text),
+                                  '\\s+')) AS INT) END AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{_TOKEN_PATTERN}')) AS INT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_documents": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents)
+            SELECT doc_id,
+                   round(n_alpha / safe, 6) AS alpha_ratio,
+                   round(n_punct / safe, 6) AS punct_ratio,
+                   round(n_digit / safe, 6) AS digit_ratio,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM q
+        """,
+        "lang_pred_documents": f"""
+            WITH s AS (
+              SELECT lang, {lang_scores}
+              FROM documents),
+            p AS (
+              SELECT lang,
+                     greatest(s_en, s_de, s_fr, s_es, s_it) AS best,
+                     s_en, s_de, s_fr, s_es, s_it
+              FROM s)
+            SELECT lang,
+                   CASE {lang_pred_cases}
+                        ELSE 'und' END AS lang_pred,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+        """,
+        "cosine_topk_embeddings": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings ORDER BY vec_id LIMIT 1)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         (SELECT qv FROM q)), 5) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT qv FROM q)) DESC, vec_id
+            LIMIT 10
+        """,
+        "events_value_histogram": """
+            SELECT least(greatest(CAST(floor(value / 25.0) AS INT), 0), 19)
+                   AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
+        """,
+        "exact_dup_groups_documents": r"""
+            WITH n AS (
+              SELECT trim(regexp_replace(regexp_replace(lower(text),
+                     '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+              FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   substring(norm, 1, 40) AS norm_prefix
+            FROM n GROUP BY norm HAVING count(*) > 1
+        """,
+    }

@@ -1,0 +1,179 @@
+"""Benchmark — one JSON line to stdout.
+
+Headline: validated documents/sec under the FULL constraint suite
+(row-local validation + per-column stats + salted uniqueness +
+referential + KS/chi-square drift) on the synthetic interleaved-doc
+table (north rule, BASELINE.json:2). Plus per-query timings for the
+testdata queries.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  BENCH_N_DOCS         interleaved docs for the suite (default 300000)
+  BENCH_QUERIES        comma list / empty = all / 'none'
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("schematic-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def full_suite(spark, n_docs: int) -> dict:
+    """The north-rule workload: generate → validate → stats → uniqueness
+    (salted) → referential → drift. Returns timings + counts."""
+    from pyspark.sql import functions as F
+
+    from schematic_spark.generator import (
+        GeneratorConfig,
+        INTERLEAVED_SPEC,
+        exploded_spans,
+        interleaved_documents,
+        media_dim,
+        non_monotonic_docs,
+    )
+    from schematic_spark.suite import (
+        chi2_drift,
+        column_stats,
+        dangling_rows,
+        duplicate_keys_salted,
+        ks_drift,
+    )
+    from schematic_spark.validation import validate
+
+    cfg = GeneratorConfig(n_docs=n_docs, seed=42, n_media=10_000)
+    cfg_base = GeneratorConfig(n_docs=n_docs, seed=7, n_media=10_000)
+    t0 = time.time()
+    docs = interleaved_documents(spark, cfg)
+    media = media_dim(spark, cfg.n_media)
+
+    # 1. row-local validation (one projection) + per-verdict counts
+    res = validate(docs, INTERLEAVED_SPEC)
+    verdicts = {
+        r["verdict"]: r["n_rows"] for r in res.summary().collect()
+    }
+    t_validate = time.time() - t0
+
+    # 2. per-column stats
+    t = time.time()
+    column_stats(docs).collect()
+    t_stats = time.time() - t
+
+    # 3. uniqueness (salted two-phase — doc_id prefixes are skewed)
+    t = time.time()
+    n_dup = duplicate_keys_salted(docs, "doc_id", salt_buckets=64).count()
+    t_unique = time.time() - t
+
+    # 4. referential spans.media_ref → media dim (broadcast anti join)
+    t = time.time()
+    spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
+    n_dangling = dangling_rows(
+        spans, media, "media_ref", broadcast=True
+    ).count()
+    t_ref = time.time() - t
+
+    # 5. drift vs a differently-seeded baseline snapshot
+    t = time.time()
+    cur_counts = docs.select(F.size("spans").alias("n"))
+    base_docs = interleaved_documents(spark, cfg_base)
+    base_counts = base_docs.select(F.size("spans").alias("n"))
+    ks = ks_drift(cur_counts, base_counts, "n", lo=0, hi=16, n_buckets=16)
+    kinds_cur = exploded_spans(docs).select("kind")
+    kinds_base = exploded_spans(base_docs).select("kind")
+    chi = chi2_drift(kinds_cur, kinds_base, "kind")
+    t_drift = time.time() - t
+
+    # 6. span-order check (array-local)
+    t = time.time()
+    n_disorder = non_monotonic_docs(docs).count()
+    t_order = time.time() - t
+
+    total = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "total_sec": total,
+        "docs_per_sec": n_docs / total,
+        "phases": {
+            "validate": t_validate,
+            "stats": t_stats,
+            "uniqueness_salted": t_unique,
+            "referential": t_ref,
+            "drift": t_drift,
+            "span_order": t_order,
+        },
+        "verdicts": verdicts,
+        "n_dup_keys": n_dup,
+        "n_dangling": n_dangling,
+        "n_out_of_order": n_disorder,
+        "ks_stat": ks.statistic,
+        "chi2_stat": chi.statistic,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_N_DOCS", "300000"))
+    which = os.environ.get("BENCH_QUERIES", "")
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    suite = full_suite(spark, n_docs)
+
+    import __spark_entry__ as entry
+
+    qtimes: dict[str, float] = {}
+    if which != "none":
+        wanted = set(which.split(",")) if which else None
+        for name, fn in entry.queries().items():
+            if wanted and name not in wanted:
+                continue
+            t = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.collect()
+                qtimes[name] = round(time.time() - t, 3)
+            except Exception as e:  # report, don't die
+                qtimes[name] = -1.0
+                print(f"query {name} failed: {e}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "full_constraint_suite_interleaved_docs",
+        "value": round(suite["total_sec"], 3),
+        "unit": "sec",
+        "docs_per_sec": round(suite["docs_per_sec"], 1),
+        "suite": {
+            k: round(v, 3) for k, v in suite["phases"].items()
+        },
+        "suite_n_docs": suite["n_docs"],
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

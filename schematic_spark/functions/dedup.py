@@ -1,0 +1,407 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each chosen for a different scale/recall point:
+
+* **exact** — hash-groupBy on a normalized-content fingerprint. One
+  shuffle of (fingerprint, id) pairs only (never the text).
+* **MinHash + LSH** — shingle → k minhashes → b bands; candidate pairs
+  come from a self-join on (band, band_hash) buckets, so the shuffle
+  carries b small keys per doc instead of O(n^2) comparisons; exact
+  n-gram Jaccard verifies candidates.
+* **SimHash** — 64-bit weighted-bit signature via a vectorized pandas
+  UDF (numpy bit tricks over Arrow batches); near-dups = signatures at
+  Hamming distance ≤ t, found by the standard 4-block Charikar trick
+  (exact-match join on each block → verify Hamming).
+* **n-gram Jaccard** — exact pairwise similarity on candidate pairs
+  (array_intersect/array_union, JVM-side).
+* **embedding cosine** — near-dup by cosine ≥ τ over an embedding
+  column; bucketed by random-hyperplane LSH to avoid the n^2 join.
+
+All signature computation is a shuffle-free projection; only the
+candidate-pair discovery shuffles, and it shuffles signatures, not
+documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .text import normalized_text, doc_fingerprint
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_docs, doc_ids[≤20]) for every group of exact
+    (normalized) duplicates."""
+    return (
+        df.select(
+            F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(F.collect_list(id_col), 1, 20).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc (min id) per fingerprint group. Two-column shuffle
+    (fingerprint, id) + broadcast-able winners join when small; at scale
+    the window variant below keeps it one shuffle."""
+    fp = doc_fingerprint(text_col).alias("_fp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        df.select("*", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram array (the Jaccard universe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(normalized_text(c), " ")
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    short = F.when(
+        F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
+    )
+    return F.array_distinct(F.coalesce(short, grams))
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """array<bigint> of ``num_hashes`` min-hashes — one array_min over a
+    transform per hash function, all JVM-side."""
+    return F.array(*[
+        F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.xxhash64(s, F.lit(seed * 1000 + i)),
+            )
+        )
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a, id_b, band) from banded MinHash.
+    rows-per-band r = num_hashes/bands sets the similarity knee at
+    ~(1/bands)^(1/r)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signature(
+        shingles(text_col, shingle_n), num_hashes, seed
+    ).alias("_sig")
+    with_sig = df.select(F.col(id_col), sig)
+    band_rows = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("_sig")[b * r + j].cast("string")
+                                for j in range(r)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard:
+    (id_a, id_b, jaccard) for pairs ≥ threshold. Joins shingle arrays
+    onto the (small) candidate set, then array_intersect/array_union —
+    no python."""
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    )
+    out = (
+        candidates
+        .join(sh.withColumnRenamed(id_col, "id_a")
+                .withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.greatest(F.size(F.array_union("_sh_a", "_sh_b")), F.lit(1)),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates → exact-Jaccard verify."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, seed=seed,
+    )
+    return ngram_jaccard_pairs(
+        df, cands, text_col, id_col,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64_impl(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — vectorized numpy inside
+    an Arrow batch (no per-row JVM crossings)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for idx, t in enumerate(texts):
+        if not t:
+            continue
+        tokens = str(t).lower().split()
+        if not tokens:
+            continue
+        hashes = np.fromiter(
+            (hash_token(tok) for tok in tokens),
+            dtype=np.uint64, count=len(tokens),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+        votes = bits.sum(axis=0) * 2 - len(tokens)  # +1/-1 vote sums
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[idx] = np.int64(sig)
+    return pd.Series(out)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across sessions, unlike
+    Python's salted ``hash``)."""
+    h = 0xCBF29CE484222325
+    for ch in tok.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+_simhash64 = None
+
+
+def simhash(col: Column | str) -> Column:
+    # UDF registration needs an active session → create lazily, once
+    global _simhash64
+    if _simhash64 is None:
+        from pyspark.sql.types import LongType
+
+        _simhash64 = pandas_udf(_simhash64_impl, LongType())
+    c = F.col(col) if isinstance(col, str) else col
+    return _simhash64(c)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(sig_a, sig_b) ≤ t.
+
+    Charikar block trick: split the 64-bit signature into t+1 blocks;
+    any pair within Hamming ≤ t must agree exactly on ≥1 block, so an
+    equi-join per block finds all candidates with a cheap shuffle."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sig = df.select(F.col(id_col), simhash(text_col).alias("_sig"))
+    blocks = sig.select(
+        id_col, "_sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftrightunsigned(F.col("_sig"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            )
+            for b in range(n_blocks)
+        ])).alias("bk"),
+    ).select(id_col, "_sig", F.col("bk.block").alias("block"),
+             F.col("bk.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a._sig").bitwiseXOR(F.col("b._sig"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float/double> columns — JVM higher-order
+    functions, no UDF."""
+    return _dot(a, b) / F.greatest(
+        _norm(a) * _norm(b), F.lit(1e-12)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ τ, LSH-bucketed by random-hyperplane
+    signs so the verify join is per-bucket, not n^2. ``probe_hamming=1``
+    also joins buckets differing in one bit (recall boost near plane
+    boundaries)."""
+    from .similarity import hyperplane_signature, _PLANE_DIM_ERR
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double"
+        )
+    dim = first["d"]
+    sig = df.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_signature(
+            F.col(vec_col), dim=dim, n_planes=n_planes, seed=seed
+        ).alias("_bucket"),
+    )
+    # probe set: exact bucket plus (optionally) 1-bit neighbours
+    probes = [F.col("_bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("_bucket").bitwiseXOR(F.lit(1 << b))
+            for b in range(n_planes)
+        ]
+    probed = sig.select(
+        id_col, vec_col,
+        F.explode(F.array(*probes)).alias("_probe"),
+    )
+    a = probed.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._probe") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

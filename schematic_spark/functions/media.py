@@ -1,0 +1,163 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas UDFs over ``mapInPandas``. The image/audio codec
+libraries are NOT in this container, so the codec step is stubbed
+behind ``DECODERS`` (deterministic fake by default,
+``NotImplementedError`` in strict mode) — the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and tested.
+
+Schema convention::
+
+    media_id:  string
+    kind:      string  -- 'image' | 'audio' | 'video'
+    payload:   binary
+    meta:      struct<mime:string, width:int, height:int,
+                      duration_ms:int, sample_rate:int>
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("meta", StructType([
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ])),
+])
+
+FEATURE_DIM = 16
+
+FEATURES_DDL = (
+    "media_id string, kind string, n_bytes long, "
+    "feature array<float>, decode_ok boolean, decode_error string"
+)
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in for a real codec: a seeded projection of
+    the payload bytes to FEATURE_DIM floats. Replace via DECODERS when
+    real codecs (PIL/ffmpeg/torchaudio) are on the cluster."""
+    if payload is None:
+        raise ValueError("null payload")
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        raise ValueError("empty payload")
+    idx = np.arange(arr.size)
+    feats = [
+        float(np.cos((idx * (k + 1)) % 257 / 257.0 * 2 * np.pi) @ arr)
+        / arr.size
+        for k in range(FEATURE_DIM)
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
+def _strict_decode(payload: bytes, kind: str) -> np.ndarray:
+    raise NotImplementedError(
+        f"no {kind} codec in this environment — install codec libs and "
+        "register a decoder in schematic_spark.functions.media.DECODERS"
+    )
+
+
+#: pluggable codec registry: kind -> payload→feature fn
+DECODERS = {
+    "image": _fake_decode,
+    "audio": _fake_decode,
+    "video": _fake_decode,
+}
+
+
+def extract_features(
+    df: DataFrame, *, batch_hint: int | None = None, strict: bool = False
+) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, feature[FEATURE_DIM],
+    decode_ok, decode_error) via ``mapInPandas``. Decode failures are
+    rows, not job failures (quarantine semantics, like validation)."""
+
+    decoders = dict(DECODERS) if not strict else {
+        k: _strict_decode for k in DECODERS
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            feats: list = [None] * n
+            ok = np.zeros(n, dtype=bool)
+            err: list = [None] * n
+            for i in range(n):
+                kind = pdf["kind"].iloc[i]
+                try:
+                    decoder = decoders.get(kind)
+                    if decoder is None:
+                        raise ValueError(f"unknown media kind {kind!r}")
+                    feats[i] = decoder(pdf["payload"].iloc[i], kind)
+                    ok[i] = True
+                except NotImplementedError:
+                    raise
+                except Exception as e:  # decode errors become rows
+                    err[i] = f"{type(e).__name__}: {e}"
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0
+                ),
+                "feature": feats,
+                "decode_ok": ok,
+                "decode_error": err,
+            })
+
+    return df.mapInPandas(run, FEATURES_DDL)
+
+
+def synthetic_media(spark, n: int, *, seed: int = 42) -> DataFrame:
+    """Deterministic media table for tests/benches: payload bytes are a
+    seeded function of the id (distributed generation, no driver loop)."""
+    i = F.col("id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(i, F.lit(3)) + 1).cast("int"),
+    )
+    # payload: unhex of a deterministic hex string, length varies 8..64
+    reps = (F.pmod(i * F.lit(2654435761 % 65536) + F.lit(seed), F.lit(8)) + 1
+            ).cast("int")
+    hexstr = F.repeat(
+        F.lpad(F.hex(F.pmod(i + F.lit(seed), F.lit(1 << 31))), 16, "0"),
+        reps,
+    )
+    return spark.range(n).select(
+        F.format_string("m%09d", i).alias("media_id"),
+        kind.alias("kind"),
+        F.to_binary(hexstr, F.lit("hex")).alias("payload"),
+        F.struct(
+            F.concat(F.lit("x/"), kind).alias("mime"),
+            F.when(kind == "image", (F.pmod(i, F.lit(512)) + 1).cast("int"))
+             .alias("width"),
+            F.when(kind == "image", (F.pmod(i, F.lit(256)) + 1).cast("int"))
+             .alias("height"),
+            F.when(kind != "image", (F.pmod(i, F.lit(9000)) + 1000).cast("int"))
+             .alias("duration_ms"),
+            F.when(kind == "audio", F.lit(16000)).cast("int")
+             .alias("sample_rate"),
+        ).alias("meta"),
+    )

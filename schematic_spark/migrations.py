@@ -1,0 +1,281 @@
+"""Schema migrations + versioned dispatch — engine equivalent of
+``/root/reference/src/Data/Schematic/Migration.hs`` and the fallback
+parse in ``src/Data/Schematic.hs:60-76``.
+
+The reference applies *type-level* diffs (AddKey/DeleteKey/Update at a
+path of object keys and array traversals) to produce a revision chain,
+then parses newest-first, migrating the value up the chain on success at
+an older revision. Here:
+
+* diffs are data (:class:`Diff` path+action), applied to the schema AST
+  by :func:`apply_action_at` — the analog of
+  ``Build/MakeBuilder/ApplyAction`` (Migration.hs:41-73);
+* :func:`all_versions` folds migrations over the base schema and lists
+  (revision, schema) newest-first — ``AllVersions``/``TopVersion``
+  (Migration.hs:97-107);
+* a :class:`VersionedSpec` carries per-revision ``DataFrame →
+  DataFrame`` upgrade functions — the ``MList`` (Migration.hs:148-158);
+* :func:`validate_versioned` validates each row against the newest
+  revision; rows that fail (structurally or by constraint) are
+  re-validated against older revisions **in one pass** — every
+  revision's verdict is computed as a column, the winning revision is a
+  ``coalesce``-style argmax, and upgrade functions are applied to the
+  older-revision subsets then unioned. No per-row Python; one scan.
+
+Deviation noted for parity-hunters: the reference's type-level
+``DeleteKey`` only removes the *head* field (Migration.hs:46-48 never
+recurses); ours deletes the named field wherever it sits. Its AddKey
+prepends; ours prepends too, preserving the round-trip property used by
+its test suite (SchemaSpec.hs:46-75).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schema.ast import SArray, Schema, SObject, SOptional
+from .validation import (
+    VERDICT_COL,
+    ValidationResult,
+    compile_verdict_columns,
+    validate,
+)
+
+
+# ---------------------------------------------------------------------------
+# Path + actions
+# ---------------------------------------------------------------------------
+
+TRAVERSE = "[]"  # path segment: descend into array elements (PTraverse)
+
+
+@dataclass(frozen=True)
+class AddKey:
+    name: str
+    schema: Schema
+
+
+@dataclass(frozen=True)
+class DeleteKey:
+    name: str
+
+
+@dataclass(frozen=True)
+class Update:
+    schema: Schema
+
+
+Action = AddKey | DeleteKey | Update
+
+
+@dataclass(frozen=True)
+class Diff:
+    """Atomic schema difference at a path (Migration.hs:119-125).
+    ``path`` segments are object keys or TRAVERSE for arrays."""
+
+    path: tuple[str, ...]
+    action: Action
+
+
+@dataclass(frozen=True)
+class Migration:
+    revision: str
+    diffs: tuple[Diff, ...]
+
+
+def apply_action(action: Action, schema: Schema) -> Schema:
+    """ApplyAction (Migration.hs:70-73): AddKey prepends; DeleteKey
+    removes; Update replaces the node wholesale."""
+    if isinstance(action, AddKey):
+        if not isinstance(schema, SObject):
+            raise TypeError("AddKey target must be an object")
+        return SObject(((action.name, action.schema),) + schema.fields)
+    if isinstance(action, DeleteKey):
+        if not isinstance(schema, SObject):
+            raise TypeError("DeleteKey target must be an object")
+        return SObject(tuple(
+            (n, s) for n, s in schema.fields if n != action.name
+        ))
+    if isinstance(action, Update):
+        return action.schema
+    raise TypeError(f"unknown action {action!r}")
+
+
+def apply_action_at(
+    schema: Schema, path: tuple[str, ...], action: Action
+) -> Schema:
+    """Build/MakeBuilder (Migration.hs:41-68): descend object keys and
+    array traversals, apply the action at the target, rebuild."""
+    if not path:
+        return apply_action(action, schema)
+    head, rest = path[0], path[1:]
+    if head == TRAVERSE:
+        if isinstance(schema, SArray):
+            return SArray(
+                apply_action_at(schema.item, rest, action),
+                schema.constraints,
+            )
+        raise TypeError(f"PTraverse into non-array {schema!r}")
+    if isinstance(schema, SOptional):
+        return SOptional(apply_action_at(schema.inner, path, action))
+    if isinstance(schema, SObject):
+        fields = []
+        hit = False
+        for n, s in schema.fields:
+            if n == head:
+                hit = True
+                fields.append((n, apply_action_at(s, rest, action)))
+            else:
+                fields.append((n, s))
+        if not hit:
+            raise KeyError(f"path key {head!r} not in object")
+        return SObject(tuple(fields))
+    raise TypeError(f"cannot descend {head!r} into {schema!r}")
+
+
+def apply_migration(migration: Migration, schema: Schema) -> Schema:
+    for d in migration.diffs:  # in order (ApplyMigration, :75-79)
+        schema = apply_action_at(schema, d.path, d.action)
+    return schema
+
+
+def all_versions(
+    base: Schema, migrations: list[Migration]
+) -> list[tuple[str, Schema]]:
+    """(revision, schema) pairs NEWEST FIRST; base revision is
+    'initial' (AllVersions, Migration.hs:97-104)."""
+    acc = [("initial", base)]
+    cur = base
+    for m in migrations:
+        cur = apply_migration(m, cur)
+        acc.append((m.revision, cur))
+    return list(reversed(acc))
+
+
+def top_version(base: Schema, migrations: list[Migration]) -> Schema:
+    return all_versions(base, migrations)[0][1]
+
+
+# ---------------------------------------------------------------------------
+# Versioned validation + data migration
+# ---------------------------------------------------------------------------
+
+Upgrade = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class VersionedSpec:
+    """Base schema + migration chain + per-revision upgrade functions.
+
+    ``upgrades[rev]`` lifts a DataFrame valid under the revision *before*
+    ``rev`` into shape ``rev`` (the DataMigration tagged function,
+    Migration.hs:148-158).
+    """
+
+    base: SObject
+    migrations: list[Migration] = field(default_factory=list)
+    upgrades: dict[str, Upgrade] = field(default_factory=dict)
+
+    def versions(self) -> list[tuple[str, SObject]]:
+        return all_versions(self.base, self.migrations)
+
+    def top(self) -> SObject:
+        return self.versions()[0][1]
+
+
+def add_column_upgrade(name: str, default) -> Upgrade:
+    """Common upgrade: new column with a default (migrateObject analog)."""
+    def up(df: DataFrame) -> DataFrame:
+        return df.withColumn(name, F.lit(default))
+    return up
+
+
+def drop_column_upgrade(name: str) -> Upgrade:
+    """shrinkObject analog: project the field away."""
+    def up(df: DataFrame) -> DataFrame:
+        return df.drop(name)
+    return up
+
+
+def validate_versioned(
+    df: DataFrame, spec: VersionedSpec
+) -> tuple[DataFrame, DataFrame]:
+    """Newest-first fallback dispatch (Data/Schematic.hs:60-76).
+
+    Returns ``(upgraded_valid, rejected)``:
+
+    * rows valid under the TOP revision pass through;
+    * rows invalid at top but valid under an older revision are run
+      through the upgrade chain back up to top, then unioned in;
+    * rows valid nowhere land in ``rejected`` with the top revision's
+      verdict columns attached.
+
+    Physical shape: one scan computes a verdict per revision (all plain
+    column expressions); the revision split is a set of filters over the
+    same cached projection — no shuffle until callers aggregate.
+    """
+    versions = spec.versions()
+    top_rev, top_schema = versions[0]
+
+    # columns some revision references but the frame lacks → typed NULLs
+    # (they validate as missing-required / optional-absent, exactly the
+    # per-document semantics), dropped again before upgrades run
+    from .compiler import spark_type_for
+
+    present = set(df.columns)
+    added: list[str] = []
+    marked = df
+    for _, schema in versions:
+        for name, fschema in schema.fields:
+            if name not in present:
+                marked = marked.withColumn(
+                    name,
+                    F.lit(None).cast(spark_type_for(fschema).simpleString()),
+                )
+                present.add(name)
+                added.append(name)
+
+    verdict_cols: dict[str, str] = {}
+    for rev, schema in versions:
+        cols = compile_verdict_columns(schema)
+        cname = f"_verdict__{rev}"
+        marked = marked.withColumn(cname, cols[VERDICT_COL])
+        verdict_cols[rev] = cname
+
+    # winning revision: first (newest) revision whose verdict is Valid
+    win_expr = F.lit(None).cast("string")
+    for rev, _ in reversed(versions):
+        win_expr = F.when(
+            F.col(verdict_cols[rev]) == "Valid", F.lit(rev)
+        ).otherwise(win_expr)
+    # the loop above ends with the NEWEST revision's when() outermost,
+    # so newest-valid wins — parseAndValidateWithMList order
+    marked = marked.withColumn("_winning_revision", win_expr).cache()
+
+    helper_cols = list(verdict_cols.values()) + ["_winning_revision"] + added
+    upgraded: DataFrame | None = None
+    revs_newest_first = [rev for rev, _ in versions]
+    for idx, rev in enumerate(revs_newest_first):
+        subset = marked.where(F.col("_winning_revision") == rev) \
+                       .drop(*helper_cols)
+        # lift from `rev` up through every newer revision's upgrade
+        for newer in reversed(revs_newest_first[:idx]):
+            up = spec.upgrades.get(newer)
+            if up is None:
+                raise KeyError(
+                    f"no upgrade function registered for revision {newer!r}"
+                )
+            subset = up(subset)
+        upgraded = subset if upgraded is None else (
+            upgraded.unionByName(subset, allowMissingColumns=True)
+        )
+
+    rejected = marked.where(F.col("_winning_revision").isNull()) \
+                     .drop(*helper_cols)
+    return upgraded, rejected
+
+

@@ -1,0 +1,81 @@
+"""Structured Streaming validation.
+
+The reference has no streaming (SURVEY §2.9); the engine adds it so the
+same compiled spec runs over ``readStream`` sources: the verdict
+projection is stateless (one ``select``), so it attaches to any stream
+without watermarks; windowed verdict aggregation uses event-time
+watermarks for late data.
+
+Usage::
+
+    annotated = validate_stream(stream_df, spec)
+    q = (annotated.writeStream.format("parquet")... )
+    summary = windowed_verdict_counts(annotated, "ts", "1 minute")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema.ast import SObject
+from ..validation import (
+    DECODING_ERROR_COL,
+    STRUCTURAL_COL,
+    VERDICT_COL,
+    VIOLATIONS_COL,
+    as_schema,
+    compile_verdict_columns,
+)
+
+
+def validate_stream(df: DataFrame, spec) -> DataFrame:
+    """Attach _structural/_violations/_verdict/_decoding_error to a
+    streaming DataFrame. Stateless — no watermark required."""
+    schema = as_schema(spec)
+    if not isinstance(schema, SObject):
+        raise TypeError("top-level spec must be an object")
+    cols = compile_verdict_columns(schema)
+    return (
+        df
+        .withColumn(STRUCTURAL_COL, cols[STRUCTURAL_COL])
+        .withColumn(VIOLATIONS_COL, cols[VIOLATIONS_COL])
+        .withColumn(VERDICT_COL, cols[VERDICT_COL])
+        .withColumn(DECODING_ERROR_COL, cols[DECODING_ERROR_COL])
+    )
+
+
+def streaming_violations(df: DataFrame, *id_cols: str) -> DataFrame:
+    """Exploded violation rows from an annotated stream."""
+    v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+    return (
+        df.where(F.size(VIOLATIONS_COL) > 0)
+        .select(*[F.col(c) for c in id_cols], v)
+        .select(
+            *id_cols,
+            F.col("v.path").alias("json_path"),
+            F.col("v.error").alias("error"),
+        )
+    )
+
+
+def windowed_verdict_counts(
+    annotated: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-window verdict counts with a watermark for late rows —
+    the streaming analog of ValidationResult.summary()."""
+    return (
+        annotated
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("window"),
+            F.col(VERDICT_COL).alias("verdict"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+        )
+    )

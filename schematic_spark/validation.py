@@ -132,13 +132,16 @@ def compile_verdict_columns(schema: SObject) -> dict[str, Column]:
     empty_path = F.lit("")
     structural = compile_structural(schema, row, empty_path)
     violations = compile_violations(schema, row, empty_path)
+    # self-contained expressions (no reference to output column names, so
+    # callers may use any subset); runtime subexpression elimination
+    # dedupes the repeated subtrees within one projection
     verdict = (
-        F.when(F.size(F.col(STRUCTURAL_COL)) > 0, F.lit("DecodingError"))
-        .when(F.size(F.col(VIOLATIONS_COL)) > 0, F.lit("ValidationError"))
+        F.when(F.size(structural) > 0, F.lit("DecodingError"))
+        .when(F.size(violations) > 0, F.lit("ValidationError"))
         .otherwise(F.lit("Valid"))
     )
     # try_element_at: null (not ANSI error) on empty structural array
-    decoding_error = F.try_element_at(F.col(STRUCTURAL_COL), F.lit(1))["error"]
+    decoding_error = F.try_element_at(structural, F.lit(1))["error"]
     return {
         STRUCTURAL_COL: structural,
         VIOLATIONS_COL: violations,

@@ -1,0 +1,128 @@
+"""Local mirror of the driver's correctness gate: run every
+``queries()[k]`` on Spark at sf0.01 and compare against
+``oracle_sql()[k]`` via DuckDB — row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted).
+
+Usage: python scripts/check_oracles.py [sf_dir] [only_query_substr]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    try:
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and only not in name:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = norm_rows(scols, [tuple(r) for r in srows])
+        oc, orw = norm_rows(ocols, orows)
+        if sc != oc:
+            print(f"FAIL  {name}: columns {sc} != {oc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(orw):
+            print(f"FAIL  {name}: rows {len(sr)} != {len(orw)}")
+            n_fail += 1
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(sr, orw)) if a != b]
+        if bad:
+            i = bad[0]
+            print(f"FAIL  {name}: {len(bad)} mismatched rows; first:")
+            print(f"      spark : {sr[i]}")
+            print(f"      duckdb: {orw[i]}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(sr)} rows")
+        n_pass += 1
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+    )
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

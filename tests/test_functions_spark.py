@@ -1,0 +1,230 @@
+"""Training-pipeline operator tests: text analysis, dedup, similarity,
+media plumbing. Uses real driver testdata at sf0.001 where applicable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from schematic_spark.functions import (
+    bpe_ish_token_count,
+    cosine_topk,
+    drop_exact_duplicates,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    extract_features,
+    ivf_topk,
+    lang_id,
+    lsh_topk,
+    minhash_near_duplicates,
+    quality_features,
+    quality_score,
+    simhash,
+    simhash_near_duplicates,
+    synthetic_media,
+    train_centroids,
+    whitespace_token_count,
+    with_text_analysis,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [("hello world",), ("  a  b   c ",), ("",), (None,),
+             ("don't stop-me now!",)],
+            "t string",
+        )
+        rows = df.select(
+            whitespace_token_count("t").alias("ws"),
+            bpe_ish_token_count("t").alias("bpe"),
+        ).collect()
+        assert [r["ws"] for r in rows] == [2, 3, 0, None, 3]
+        # don ' t stop - me now ! → 8 BPE-ish pieces
+        assert rows[4]["bpe"] == 8
+        assert rows[2]["bpe"] == 0
+
+    def test_quality(self, spark):
+        df = spark.createDataFrame(
+            [("The quick brown fox jumps over the lazy dog and runs on.",),
+             ("#$%1234!!!@@@ 9999 ***",)],
+            "t string",
+        )
+        rows = df.select(
+            quality_score("t").alias("q"),
+            quality_features("t").alias("f"),
+        ).collect()
+        assert rows[0]["q"] > 0.55
+        assert rows[1]["q"] < 0.35
+        assert rows[0]["f"]["stopword_ratio"] > 0.2
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame([
+            ("the cat sat on the mat and it is warm",),
+            ("der hund ist nicht in das haus und die katze",),
+            ("le chat est dans la maison pour les amis",),
+            ("xyzzy plugh 12345",),
+        ], "t string")
+        got = [r[0] for r in df.select(lang_id("t")).collect()]
+        assert got == ["en", "de", "fr", "und"]
+
+    def test_with_text_analysis_on_documents(self, documents):
+        out = with_text_analysis(documents, "text")
+        row = out.first()
+        assert row["n_tokens"] > 0
+        assert 0.0 <= row["quality_score"] <= 1.0
+        assert out.count() == documents.count()
+
+
+class TestExactDedup:
+    def test_groups_and_drop(self, spark):
+        df = spark.createDataFrame([
+            (1, "Hello, World!"),
+            (2, "hello world"),        # same normalized content
+            (3, "something else"),
+            (4, "HELLO   world."),     # same again
+        ], "doc_id long, text string")
+        groups = exact_duplicate_groups(df).collect()
+        assert len(groups) == 1
+        assert groups[0]["n_docs"] == 3
+        kept = drop_exact_duplicates(df)
+        assert kept.count() == 2
+        assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+
+class TestMinHash:
+    def test_near_duplicates(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog while the sun "
+            "slowly sets behind distant purple mountains tonight"
+        )
+        near = base.replace("slowly", "quickly")  # 1-word edit
+        far = "completely different content about databases and queries " \
+              "with nothing shared at all in any way whatsoever here"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far), (4, base)],
+            "doc_id long, text string",
+        )
+        pairs = minhash_near_duplicates(
+            df, threshold=0.5, num_hashes=32, bands=16
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 4) in got           # identical
+        assert (1, 2) in got or (2, 4) in got  # near
+        assert all(3 not in p for p in got)    # far never pairs
+
+    def test_jaccard_exact_value(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")],
+            "doc_id long, text string",
+        )
+        pairs = minhash_near_duplicates(df, threshold=0.99).collect()
+        assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+class TestSimHash:
+    def test_signature_deterministic(self, spark):
+        df = spark.createDataFrame([("hello world foo bar",)], "t string")
+        a = df.select(simhash("t")).first()[0]
+        b = df.select(simhash("t")).first()[0]
+        assert a == b != 0
+
+    def test_near_duplicates(self, spark):
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+        near = words.replace("sigma", "sigmoid")
+        far = "one two three four five six seven eight nine ten " \
+              "eleven twelve thirteen fourteen fifteen sixteen"
+        df = spark.createDataFrame(
+            [(1, words), (2, near), (3, far)], "doc_id long, text string"
+        )
+        pairs = simhash_near_duplicates(df, max_hamming=12).collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert (1, 2) in got
+        assert got[(1, 2)] <= 12
+
+
+class TestSimilarity:
+    def test_topk_exact(self, embeddings):
+        q = [float(x) for x in embeddings.first()["embedding"]]
+        exact = cosine_topk(embeddings, q, k=10).collect()
+        assert exact[0]["cosine"] >= 0.999  # itself
+        cos = [r["cosine"] for r in exact]
+        assert cos == sorted(cos, reverse=True)
+
+    def test_lsh_finds_planted_neighbors(self, spark):
+        # random vectors are genuinely far apart (low cosine) so LSH
+        # rightly skips them; recall is measured on PLANTED near-dups
+        rng = np.random.RandomState(7)
+        base = rng.randn(16)
+        rows = [(0, [float(x) for x in base])]
+        for i in range(1, 6):  # tight cluster around base
+            rows.append(
+                (i, [float(x) for x in base + rng.randn(16) * 0.05])
+            )
+        for i in range(6, 200):  # far-away noise
+            rows.append((i, [float(x) for x in rng.randn(16)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = [float(x) for x in base]
+        approx = lsh_topk(
+            df, q, k=6, n_planes=10, probe_radius=1
+        ).collect()
+        got = {r["vec_id"] for r in approx}
+        assert {0, 1, 2, 3, 4, 5} <= got | set(range(6))  # sanity
+        assert len({0, 1, 2, 3, 4, 5} & got) >= 5  # high recall on cluster
+        assert approx[0]["vec_id"] == 0
+
+    def test_ivf(self, embeddings):
+        cents = train_centroids(embeddings, n_centroids=8, sample=256)
+        q = [float(x) for x in embeddings.first()["embedding"]]
+        got = ivf_topk(embeddings, q, cents, k=5, n_probe=8).collect()
+        # n_probe = all lists → identical to brute force
+        exact = cosine_topk(embeddings, q, k=5).collect()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+    def test_embedding_near_duplicates(self, spark):
+        v = [float(x) for x in np.linspace(0.1, 1.0, 16)]
+        v2 = [x * 1.001 for x in v]          # same direction
+        v3 = [float(x) for x in np.linspace(1.0, 0.1, 16)]  # different
+        df = spark.createDataFrame(
+            [(1, v), (2, v2), (3, v3)],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = embedding_near_duplicates(
+            df, threshold=0.999, n_planes=8
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
+
+
+class TestMedia:
+    def test_plumbing(self, spark):
+        media = synthetic_media(spark, 60)
+        assert media.schema["payload"].dataType.simpleString() == "binary"
+        feats = extract_features(media)
+        rows = feats.collect()
+        assert len(rows) == 60
+        assert all(r["decode_ok"] for r in rows)
+        assert all(len(r["feature"]) == 16 for r in rows)
+        # deterministic across runs
+        again = extract_features(synthetic_media(spark, 60)).collect()
+        assert [r["feature"] for r in rows] == [r["feature"] for r in again]
+
+    def test_strict_mode_raises(self, spark):
+        media = synthetic_media(spark, 5)
+        with pytest.raises(Exception, match="codec"):
+            extract_features(media, strict=True).collect()
