@@ -61,11 +61,35 @@ def full_suite(spark, n_docs: int) -> dict:
     )
     from schematic_spark.validation import validate
 
+    import shutil
+    import tempfile
+
     cfg = GeneratorConfig(n_docs=n_docs, seed=42, n_media=10_000)
     cfg_base = GeneratorConfig(n_docs=n_docs, seed=7, n_media=10_000)
+
+    # materialize the synthetic input once (a real job reads storage;
+    # timing the suite against parquet keeps phase costs honest instead
+    # of re-running the generator expressions per phase).
+    # BENCH_DATA_DIR reuses existing data — the scaling comparison runs
+    # both parallelism levels against the IDENTICAL files (fixed 64-way
+    # layout so file count doesn't depend on the generating level).
+    data_dir = os.environ.get("BENCH_DATA_DIR")
+    keep = data_dir is not None
+    tmp = data_dir or tempfile.mkdtemp(prefix="schematic_bench_")
+    t_gen0 = time.time()
+    if not os.path.exists(f"{tmp}/docs/_SUCCESS"):
+        interleaved_documents(spark, cfg).repartition(64) \
+            .write.mode("overwrite").parquet(f"{tmp}/docs")
+        interleaved_documents(spark, cfg_base).repartition(64) \
+            .write.mode("overwrite").parquet(f"{tmp}/docs_base")
+        media_dim(spark, cfg.n_media).repartition(4) \
+            .write.mode("overwrite").parquet(f"{tmp}/media")
+    t_gen = time.time() - t_gen0
+
     t0 = time.time()
-    docs = interleaved_documents(spark, cfg)
-    media = media_dim(spark, cfg.n_media)
+    docs = spark.read.parquet(f"{tmp}/docs")
+    base_docs = spark.read.parquet(f"{tmp}/docs_base")
+    media = spark.read.parquet(f"{tmp}/media")
 
     # 1. row-local validation (one projection) + per-verdict counts
     res = validate(docs, INTERLEAVED_SPEC)
@@ -95,7 +119,6 @@ def full_suite(spark, n_docs: int) -> dict:
     # 5. drift vs a differently-seeded baseline snapshot
     t = time.time()
     cur_counts = docs.select(F.size("spans").alias("n"))
-    base_docs = interleaved_documents(spark, cfg_base)
     base_counts = base_docs.select(F.size("spans").alias("n"))
     ks = ks_drift(cur_counts, base_counts, "n", lo=0, hi=16, n_buckets=16)
     kinds_cur = exploded_spans(docs).select("kind")
@@ -109,9 +132,12 @@ def full_suite(spark, n_docs: int) -> dict:
     t_order = time.time() - t
 
     total = time.time() - t0
+    if not keep:
+        shutil.rmtree(tmp, ignore_errors=True)
     return {
         "n_docs": n_docs,
         "total_sec": total,
+        "gen_sec": t_gen,
         "docs_per_sec": n_docs / total,
         "phases": {
             "validate": t_validate,
@@ -164,6 +190,7 @@ def main():
         "value": round(suite["total_sec"], 3),
         "unit": "sec",
         "docs_per_sec": round(suite["docs_per_sec"], 1),
+        "gen_sec": round(suite["gen_sec"], 3),
         "suite": {
             k: round(v, 3) for k, v in suite["phases"].items()
         },

@@ -528,6 +528,127 @@ def _type_conforms(schema: Schema, dt: DataType, path: str) -> list[str]:
     raise TypeError(f"unknown schema node {schema!r}")
 
 
+# ---------------------------------------------------------------------------
+# Valid-mask fast path
+# ---------------------------------------------------------------------------
+
+def _constraint_ok(schema: Schema, value: Column) -> Column:
+    """AND of this node's own constraint predicates (null value passes —
+    the structural mask covers nulls)."""
+    ok = F.lit(True)
+    if isinstance(schema, SText):
+        ln = F.length(value)
+        for c in schema.constraints:
+            if isinstance(c, TEq):
+                p = ln == c.n
+            elif isinstance(c, TLt):
+                p = ln < c.n
+            elif isinstance(c, TLe):
+                p = ln <= c.n
+            elif isinstance(c, TGt):
+                p = ln > c.n
+            elif isinstance(c, TGe):
+                p = ln >= c.n
+            elif isinstance(c, TRegex):
+                p = value.rlike(c.pattern)
+            elif isinstance(c, TEnum):
+                p = value.isin(*c.values) if c.values else F.lit(False)
+            ok = ok & F.coalesce(p, F.lit(True))
+    elif isinstance(schema, SNumber):
+        for c in schema.constraints:
+            lit = F.lit(c.n)
+            if isinstance(c, NEq):
+                p = value == lit
+            elif isinstance(c, NGt):
+                p = value > lit
+            elif isinstance(c, NGe):
+                p = value >= lit
+            elif isinstance(c, NLt):
+                p = value < lit
+            elif isinstance(c, NLe):
+                p = value <= lit
+            ok = ok & F.coalesce(p, F.lit(True))
+    elif isinstance(schema, SArray):
+        sz = F.size(value)
+        for c in schema.constraints:
+            if isinstance(c, AEq):
+                p = sz == c.n
+            elif isinstance(c, AGt):
+                p = sz > c.n
+            elif isinstance(c, AGe):
+                p = sz >= c.n
+            elif isinstance(c, ALt):
+                p = sz < c.n
+            elif isinstance(c, ALe):
+                p = sz <= c.n
+            ok = ok & F.coalesce(p, F.lit(True))
+    return ok
+
+
+def compile_valid_mask(schema: SObject, value: Column) -> Column:
+    """One boolean: row has NO structural errors and NO violations.
+
+    This is the hot-path gate: a flat predicate chain (fully
+    codegen-able apart from forall lambdas) that lets the expensive
+    array/path-building trees run only on rows that already failed.
+    On mostly-valid data the cost per row is predicate evaluation only.
+    """
+    return _mask_node(schema, value, required=True)
+
+
+def _mask_node(schema: Schema, value: Column, *, required: bool) -> Column:
+    if subtree_needs_python(schema):
+        # python-dialect subtree: can't express as a JVM predicate; the
+        # caller falls back to computing the arrays for every row
+        return F.lit(False)
+    if isinstance(schema, SOptional):
+        inner = _mask_node(schema.inner, value, required=True)
+        return value.isNull() | inner
+    if isinstance(schema, (SBoolean, SNull, SUnion)):
+        return F.lit(True) if not required or isinstance(
+            schema, (SNull, SUnion)
+        ) else value.isNotNull()
+    own = _constraint_ok(schema, value)
+    present = value.isNotNull() if required else F.lit(True)
+    if isinstance(schema, (SText, SNumber)):
+        return present & own
+    if isinstance(schema, SArray):
+        elem_required = not isinstance(schema.item, (SOptional, SNull, SUnion))
+        needs_descent = elem_required or _has_any_constraint(schema.item) \
+            or isinstance(schema.item, SObject)
+        if needs_descent:
+            elem_ok = F.forall(
+                value,
+                lambda x: _mask_node(schema.item, x, required=elem_required),
+            )
+            own = own & F.coalesce(elem_ok, F.lit(True))
+        return present & own
+    if isinstance(schema, SObject):
+        ok = present
+        for name, fschema in schema.fields:
+            freq = not isinstance(fschema, (SOptional, SNull, SUnion))
+            field_ok = _mask_node(fschema, value[name], required=freq)
+            # a null parent struct is itself the failure; guard children
+            ok = ok & F.coalesce(field_ok, F.lit(not required))
+        return ok
+    raise TypeError(f"unknown schema node {schema!r}")
+
+
+def union_tag(value: Column, union: SUnion) -> Column:
+    """First-match-wins branch tag for a union column represented as a
+    struct of nullable branches (alt_0..alt_N or named fields) — the
+    columnar analog of the reference's left-biased alternative parse
+    (Schema.hs:514-519): a ``coalesce``-style ``when`` cascade returning
+    the index of the first non-null branch, -1 when none matched."""
+    from pyspark.sql.types import StructType
+
+    tag = F.lit(-1)
+    for i in range(len(union.alternatives) - 1, -1, -1):
+        branch = value[f"alt_{i}"]
+        tag = F.when(branch.isNotNull(), F.lit(i)).otherwise(tag)
+    return tag
+
+
 def compile_regex_preflight(schema: Schema) -> None:
     """Reject regex patterns that compile in neither dialect — fail at
     spec-compile time, not mid-job on an executor."""

@@ -1,3 +1,4 @@
+from .json_ingest import MALFORMED, validate_json_strings  # noqa: F401
 from .checkpoint import (  # noqa: F401
     LINEAGE_TABLE,
     METRICS_TABLE,

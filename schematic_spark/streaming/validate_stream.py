@@ -32,16 +32,34 @@ from ..validation import (
 def validate_stream(df: DataFrame, spec) -> DataFrame:
     """Attach _structural/_violations/_verdict/_decoding_error to a
     streaming DataFrame. Stateless — no watermark required."""
+    from ..compiler import compile_structural, compile_violations
+
     schema = as_schema(spec)
     if not isinstance(schema, SObject):
         raise TypeError("top-level spec must be an object")
-    cols = compile_verdict_columns(schema)
-    return (
+    row = F.struct(*[F.col(n).alias(n) for n in schema.field_names()])
+    empty_path = F.lit("")
+    out = (
         df
-        .withColumn(STRUCTURAL_COL, cols[STRUCTURAL_COL])
-        .withColumn(VIOLATIONS_COL, cols[VIOLATIONS_COL])
-        .withColumn(VERDICT_COL, cols[VERDICT_COL])
-        .withColumn(DECODING_ERROR_COL, cols[DECODING_ERROR_COL])
+        .withColumn(
+            STRUCTURAL_COL, compile_structural(schema, row, empty_path)
+        )
+        .withColumn(
+            VIOLATIONS_COL, compile_violations(schema, row, empty_path)
+        )
+    )
+    return (
+        out
+        .withColumn(
+            VERDICT_COL,
+            F.when(F.size(F.col(STRUCTURAL_COL)) > 0, F.lit("DecodingError"))
+            .when(F.size(F.col(VIOLATIONS_COL)) > 0, F.lit("ValidationError"))
+            .otherwise(F.lit("Valid")),
+        )
+        .withColumn(
+            DECODING_ERROR_COL,
+            F.try_element_at(F.col(STRUCTURAL_COL), F.lit(1))["error"],
+        )
     )
 
 

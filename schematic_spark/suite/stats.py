@@ -29,7 +29,14 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         dt = fields[c]
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nnull"))
-        aggs.append(F.approx_count_distinct(col).alias(f"{c}__ndist"))
+        if isinstance(dt, (NumericType, StringType)):
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__ndist"))
+        else:
+            # hashing every nested array/struct per row for an HLL is a
+            # scan-dominating cost at scale; complex types report null
+            aggs.append(
+                F.lit(None).cast("long").alias(f"{c}__ndist")
+            )
         if isinstance(dt, NumericType):
             aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(col).cast("string").alias(f"{c}__max"))

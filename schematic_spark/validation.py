@@ -182,13 +182,48 @@ def validate(
         problems = check_conformance(schema, df.schema)
         if problems:
             raise SchemaMismatchError(problems)
-    cols = compile_verdict_columns(schema)
+    row = F.struct(*[F.col(n).alias(n) for n in schema.field_names()])
+    empty_path = F.lit("")
+    # valid-mask fast path: a flat predicate chain decides "no errors at
+    # all" first; the expensive array/path-building trees run only on
+    # rows that failed it (on mostly-valid data: predicates only)
+    from .compiler import compile_valid_mask
+
+    empty = F.array().cast("array<struct<path:string,error:string>>")
+    mask = compile_valid_mask(schema, row)
+    annotated = df.withColumn("_row_ok", mask)
+    # two-stage projection: the expensive violation/structural trees are
+    # materialized as columns first; verdict/decoding_error reference the
+    # COLUMNS (not re-inlined trees — CollapseProject keeps non-cheap
+    # multi-referenced producers separate, so each tree evaluates once)
     annotated = (
-        df
-        .withColumn(STRUCTURAL_COL, cols[STRUCTURAL_COL])
-        .withColumn(VIOLATIONS_COL, cols[VIOLATIONS_COL])
-        .withColumn(VERDICT_COL, cols[VERDICT_COL])
-        .withColumn(DECODING_ERROR_COL, cols[DECODING_ERROR_COL])
+        annotated
+        .withColumn(
+            STRUCTURAL_COL,
+            F.when(F.col("_row_ok"), empty).otherwise(
+                compile_structural(schema, row, empty_path)
+            ),
+        )
+        .withColumn(
+            VIOLATIONS_COL,
+            F.when(F.col("_row_ok"), empty).otherwise(
+                compile_violations(schema, row, empty_path)
+            ),
+        )
+        .drop("_row_ok")
+    )
+    annotated = (
+        annotated
+        .withColumn(
+            VERDICT_COL,
+            F.when(F.size(F.col(STRUCTURAL_COL)) > 0, F.lit("DecodingError"))
+            .when(F.size(F.col(VIOLATIONS_COL)) > 0, F.lit("ValidationError"))
+            .otherwise(F.lit("Valid")),
+        )
+        .withColumn(
+            DECODING_ERROR_COL,
+            F.try_element_at(F.col(STRUCTURAL_COL), F.lit(1))["error"],
+        )
     )
     return ValidationResult(annotated=annotated, schema=schema)
 
