@@ -1,0 +1,67 @@
+"""Physical-plan regression tests — the scale properties the engine
+relies on must be visible in the plan, not just asserted in docs:
+
+* row-local validation is ONE shuffle-free projection (no Exchange);
+* column pruning reaches the parquet scan (ReadSchema only lists
+  spec + selected columns);
+* referential check with broadcast=True produces a BroadcastHashJoin
+  (fact side never shuffles).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schematic_spark.schema import NGe, SNumber, SObject, SText, TEnum, TGe
+from schematic_spark.suite import dangling_rows
+from schematic_spark.validation import validate
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPEC = SObject((
+    ("text", SText((TGe(1),))),
+    ("lang", SText((TEnum(("en", "de", "fr", "es", "zh")),))),
+    ("n_chars", SNumber((NGe(0),))),
+))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShape:
+    def test_validation_is_shuffle_free(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        res = validate(docs, SPEC)
+        plan = _plan(res.annotated)
+        assert "Exchange" not in plan, plan
+
+    def test_column_pruning_reaches_scan(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        res = validate(docs, SPEC)
+        out = res.annotated.select("doc_id", "_verdict")
+        plan = _plan(out)
+        scan_lines = [
+            ln for ln in plan.splitlines() if "ReadSchema" in ln
+        ]
+        assert scan_lines, plan
+        # only doc_id + the three spec columns may be read; 'source' must
+        # be pruned away
+        assert "source" not in scan_lines[0], scan_lines[0]
+
+    def test_broadcast_referential_join(self, spark):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        dang = dangling_rows(ev, cust, {"user_id": "c_custkey"},
+                             broadcast=True)
+        plan = _plan(dang)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "LeftAnti" in plan, plan
+
+    def test_filter_pushdown(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        q = docs.where(F.col("lang") == "en").select("doc_id")
+        plan = _plan(q)
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan \
+            or "EqualTo(lang,en)" in plan, plan
