@@ -33,7 +33,9 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        # local mode: ALL executor threads share this one heap — size it
+        # so per-task memory doesn't shrink when parallelism grows
+        .config("spark.driver.memory", "64g")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
