@@ -35,7 +35,9 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         # local mode: ALL executor threads share this one heap — size it
         # so per-task memory doesn't shrink when parallelism grows
-        .config("spark.driver.memory", "64g")
+        # (16g spilled at local[32]; 64g GC'd pathologically; 24g is the
+        # measured sweet spot on this 125g box)
+        .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

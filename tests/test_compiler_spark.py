@@ -31,6 +31,7 @@ from schematic_spark.schema import (
     SOptional,
     SText,
     TEnum,
+    TEq,
     TGt,
     TLt,
     TRegex,
@@ -295,6 +296,24 @@ class TestNestedSpans:
         assert row["_verdict"] == "DecodingError"
         errs = {(e["path"], e["error"]) for e in row["_structural"]}
         assert errs == {(".spans[0]", 'No text field: "kind"')}
+
+
+class TestUnicodeLength:
+    def test_codepoint_semantics_match_reference(self, spark):
+        # Data.Text length = codepoint count (SURVEY §1.2); astral chars
+        # (surrogate pairs in UTF-16) must count as 1, combining marks as
+        # their own codepoint
+        schema = SObject((("v", SText((TEq(1),))),))
+        df = spark.createDataFrame(
+            [("\U0001D11E",),   # musical symbol: 1 codepoint
+             ("é",),      # e + combining acute: 2 codepoints
+             ("a",)],
+            "v string",
+        )
+        verdicts = [
+            r["_verdict"] for r in validate(df, schema).annotated.collect()
+        ]
+        assert verdicts == ["Valid", "ValidationError", "Valid"]
 
 
 class TestPreflight:

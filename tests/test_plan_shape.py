@@ -30,6 +30,15 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    # other test modules cache the same parquet relations; a cached
+    # relation swaps the scan for InMemoryTableScan and hides
+    # ReadSchema/PushedFilters from the plan under inspection
+    spark.catalog.clearCache()
+    yield
+
+
 class TestPlanShape:
     def test_validation_is_shuffle_free(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -129,3 +129,19 @@ class TestAccessors:
         schema = SObject((("x", SNumber()),))
         with pytest.raises(KeyError):
             construct(schema)
+
+
+class TestSerialize:
+    def test_tojson_keeps_null_keys(self, spark):
+        # ToJSON parity (Schema.hs:569-588): ReprOptional Nothing
+        # serializes as an explicit null key
+        from schematic_spark.serialize import serialize_rows
+        from schematic_spark.schema import SObject, SOptional
+
+        schema = SObject((
+            ("x", SNumber()),
+            ("bar", SOptional(SText())),
+        ))
+        df = spark.createDataFrame([(1.0, None)], "x double, bar string")
+        out = serialize_rows(df, schema).first()["json"]
+        assert out == '{"x":1.0,"bar":null}'
