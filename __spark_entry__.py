@@ -261,9 +261,12 @@ def _q_minhash_near_dups_documents(spark, sf_dir):
     from schematic_spark.functions import minhash_near_duplicates
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_near_duplicates(
+    pairs = minhash_near_duplicates(
         docs, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16
     )
+    return pairs.groupBy(
+        F.round(F.col("jaccard"), 1).alias("jaccard_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def _q_validate_interleaved(spark, sf_dir):
@@ -320,7 +323,10 @@ def _q_simhash_documents(spark, sf_dir):
     from schematic_spark.functions import simhash_near_duplicates
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=1)
+    pairs = simhash_near_duplicates(docs, "text", "doc_id", max_hamming=1)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

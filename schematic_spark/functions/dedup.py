@@ -116,17 +116,36 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a, id_b, band) from banded MinHash.
     rows-per-band r = num_hashes/bands sets the similarity knee at
-    ~(1/bands)^(1/r)."""
+    ~(1/bands)^(1/r).
+
+    ``max_bucket_size`` drops degenerate buckets (near-universal
+    shingles collapse many docs into one bucket → quadratic pair
+    explosion); this is the standard web-scale LSH hygiene — a bucket
+    with B docs contributes B(B-1)/2 candidate pairs, so one 10^6-doc
+    bucket would dominate the whole job. Signature rows are cached:
+    the self-join would otherwise recompute the full shingle+minhash
+    pipeline for both sides."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signature(
-        shingles(text_col, shingle_n), num_hashes, seed
-    ).alias("_sig")
-    with_sig = df.select(F.col(id_col), sig)
+    # two projections: shingles FIRST as a column, signature second.
+    # minhash_signature references its input once per hash function; fed
+    # the raw shingle EXPRESSION it would inline (and recompute) the
+    # whole shingle pipeline num_hashes times per row — CSE does not
+    # dedupe across HOF lambdas. A multi-referenced non-cheap column
+    # keeps the projections separate (CollapseProject), so shingling
+    # runs once per row.
+    with_sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    )
+    with_sig = with_sh.select(
+        F.col(id_col),
+        minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
+    )
     band_rows = with_sig.select(
         id_col,
         F.explode(
@@ -147,7 +166,13 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+             F.col("bb.bucket").alias("bucket")).cache()
+    sizes = band_rows.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    eligible = sizes.where(F.col("_bn") <= max_bucket_size) \
+                    .select("band", "bucket")
+    band_rows = band_rows.join(eligible, ["band", "bucket"])
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -181,7 +206,7 @@ def ngram_jaccard_pairs(
     no python."""
     sh = df.select(
         F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
-    )
+    ).cache()  # joined twice (both pair sides)
     out = (
         candidates
         .join(sh.withColumnRenamed(id_col, "id_a")
@@ -299,7 +324,8 @@ def simhash_near_duplicates(
             for b in range(n_blocks)
         ])).alias("bk"),
     ).select(id_col, "_sig", F.col("bk.block").alias("block"),
-             F.col("bk.key").alias("key"))
+             F.col("bk.key").alias("key")).cache()
+    # cached: the self-join would run the simhash pandas UDF twice per side
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(
