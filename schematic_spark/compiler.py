@@ -136,7 +136,9 @@ def subtree_needs_python(schema: Schema) -> bool:
     if isinstance(schema, SOptional):
         return subtree_needs_python(schema.inner)
     if isinstance(schema, SUnion):
-        return False  # union validation is a no-op (Validation.hs:244)
+        if not schema.validate_branches:
+            return False  # union validation is a no-op (Validation.hs:244)
+        return any(subtree_needs_python(a) for a in schema.alternatives)
     return False
 
 
@@ -267,6 +269,19 @@ def compile_violations(schema: Schema, value: Column, path: Column) -> Column:
                 parts.append(compile_violations(fschema, value[name], fpath))
             body = _concat_all(parts)
             return F.when(value.isNull(), _empty_violations()).otherwise(body)
+        if isinstance(schema, SUnion):
+            # per-branch routing: the interpreter fallback expects raw
+            # values, not the struct-of-branches column encoding
+            expr = _empty_violations()
+            for i in range(len(schema.alternatives) - 1, -1, -1):
+                alt = schema.alternatives[i]
+                if isinstance(alt, SNull):
+                    continue
+                expr = F.when(
+                    value[f"alt_{i}"].isNotNull(),
+                    compile_violations(alt, value[f"alt_{i}"], path),
+                ).otherwise(expr)
+            return expr
         return F.coalesce(
             _interpreted_violations(schema, value, path),
             _empty_violations(),
@@ -309,8 +324,22 @@ def _compile_violations_native(
         body = _concat_all(parts)
         return F.when(value.isNull(), _empty_violations()).otherwise(body)
     if isinstance(schema, SUnion):
-        # reference parity: union validation is a NO-OP (Validation.hs:244)
-        return _empty_violations()
+        if not schema.validate_branches:
+            # reference parity: union validation is a NO-OP (Validation.hs:244)
+            return _empty_violations()
+        # opt-in: validate the FIRST matched branch's constraints (the
+        # interpreter's validate_unions twin) — a when-chain keyed on the
+        # left-biased first non-null branch
+        expr = _empty_violations()
+        for i in range(len(schema.alternatives) - 1, -1, -1):
+            alt = schema.alternatives[i]
+            if isinstance(alt, SNull):
+                continue
+            expr = F.when(
+                value[f"alt_{i}"].isNotNull(),
+                _compile_violations_native(alt, value[f"alt_{i}"], path),
+            ).otherwise(expr)
+        return expr
     raise TypeError(f"unknown schema node {schema!r}")
 
 
@@ -323,6 +352,8 @@ def _has_any_constraint(schema: Schema) -> bool:
         return any(_has_any_constraint(s) for _, s in schema.fields)
     if isinstance(schema, SOptional):
         return _has_any_constraint(schema.inner)
+    if isinstance(schema, SUnion) and schema.validate_branches:
+        return any(_has_any_constraint(a) for a in schema.alternatives)
     return False
 
 
@@ -347,6 +378,82 @@ def _elem_violations(item: Schema, arr: Column, path: Column) -> Column | None:
 # ---------------------------------------------------------------------------
 # Structural errors (DecodingError layer) — Schema.hs:525-567 columnar
 # ---------------------------------------------------------------------------
+
+UNION_NO_MATCH = "empty union"  # Schema.hs:515 — the alternative chain's
+# terminal failure message when no union branch matches
+
+
+def structural_possible(schema: Schema) -> bool:
+    """True when the subtree can produce structural (decode-layer)
+    errors — i.e. :func:`_structural_child` returns a non-None column.
+
+    This is THE shared predicate for both the structural compiler's
+    descent decisions and the valid-mask compiler, so the two can never
+    disagree (round-1 bug: an array item of SOptional(SObject) was
+    descended by the structural compiler but not by the mask, producing
+    a silent false-Valid)."""
+    if isinstance(schema, SOptional):
+        return structural_possible(schema.inner)
+    if isinstance(schema, SObject):
+        return True
+    if isinstance(schema, SArray):
+        return (
+            not isinstance(schema.item, (SOptional, SNull, SUnion))
+            or structural_possible(schema.item)
+        )
+    if isinstance(schema, SUnion):
+        no_match_possible = not any(
+            isinstance(a, SNull) for a in schema.alternatives
+        )
+        return no_match_possible or any(
+            structural_possible(a) for a in schema.alternatives
+        )
+    return False
+
+
+def _union_matched(union: SUnion, value: Column) -> Column:
+    """True when some alternative structurally matches — the columnar
+    analog of the left-biased alternative parse succeeding
+    (Schema.hs:514-519). In the struct-of-nullable-branches encoding a
+    branch matches iff its ``alt_i`` is non-null; an SNull alternative
+    matches the everything-null case (explicit null / absent)."""
+    if any(isinstance(a, SNull) for a in union.alternatives):
+        return F.lit(True)
+    matched = F.lit(False)
+    for i, alt in enumerate(union.alternatives):
+        matched = matched | value[f"alt_{i}"].isNotNull()
+    return matched
+
+
+def _union_structural(union: SUnion, value: Column, path: Column) -> Column:
+    """No-match DecodingError + structural descent into the first
+    matched branch (the branch the reference's parse would have
+    committed to)."""
+    parts: list[Column] = []
+    if not any(isinstance(a, SNull) for a in union.alternatives):
+        parts.append(_compact([
+            F.when(~_union_matched(union, value),
+                   _viol(path, UNION_NO_MATCH))
+        ]))
+    branch_expr = None
+    for i in range(len(union.alternatives) - 1, -1, -1):
+        alt = union.alternatives[i]
+        if isinstance(alt, SNull):
+            continue
+        child = _structural_child(alt, value[f"alt_{i}"], path)
+        if child is None:
+            child = _empty_violations()
+        branch_expr = F.when(
+            value[f"alt_{i}"].isNotNull(), child
+        ).otherwise(branch_expr if branch_expr is not None
+                    else _empty_violations())
+    if branch_expr is not None and any(
+        structural_possible(a) for a in union.alternatives
+        if not isinstance(a, SNull)
+    ):
+        parts.append(branch_expr)
+    return _concat_all(parts)
+
 
 def compile_structural(schema: Schema, value: Column, path: Column) -> Column:
     """array<struct<path,error>> of structural (decode-layer) errors:
@@ -390,12 +497,13 @@ def _structural_child(schema: Schema, value: Column, path: Column) -> Column | N
         return F.when(value.isNull(), _empty_violations()).otherwise(inner)
     if isinstance(schema, SObject):
         return compile_structural(schema, value, path)
+    if isinstance(schema, SUnion):
+        if not structural_possible(schema):
+            return None
+        return _union_structural(schema, value, path)
     if isinstance(schema, SArray):
         elem_required = not isinstance(schema.item, (SOptional, SNull, SUnion))
-        elem_has_struct = isinstance(schema.item, (SObject, SArray)) or (
-            isinstance(schema.item, SOptional)
-            and isinstance(schema.item.inner, (SObject, SArray))
-        )
+        elem_has_struct = structural_possible(schema.item)
         if not elem_required and not elem_has_struct:
             return None
 
@@ -411,9 +519,15 @@ def _structural_child(schema: Schema, value: Column, path: Column) -> Column | N
                 ]))
             child = _structural_child(schema.item, x, ep)
             if child is not None:
-                parts.append(
-                    F.when(x.isNull(), _empty_violations()).otherwise(child)
-                )
+                if isinstance(schema.item, SUnion):
+                    # union handles null itself: all-branches-null IS the
+                    # no-match DecodingError, don't suppress it
+                    parts.append(child)
+                else:
+                    parts.append(
+                        F.when(x.isNull(), _empty_violations())
+                        .otherwise(child)
+                    )
             return _concat_all(parts)
 
         return F.when(value.isNull(), _empty_violations()).otherwise(
@@ -500,11 +614,36 @@ def _type_conforms(schema: Schema, dt: DataType, path: str) -> list[str]:
     if isinstance(schema, SNull):
         return []  # any type can hold nulls
     if isinstance(schema, SUnion):
-        # accept anything a branch accepts
-        for alt in schema.alternatives:
-            if not _type_conforms(alt, dt, path):
-                return []
-        return [f"{path}: type {dt.simpleString()} matches no union branch"]
+        # Encoding 1: struct-of-nullable-branches (alt_0..alt_{n-1}; a
+        # branch column may be absent — values just never take it)
+        if isinstance(dt, StructType) and dt.fields and all(
+            f.name.startswith("alt_") for f in dt.fields
+        ):
+            problems: list[str] = []
+            n = len(schema.alternatives)
+            for f in dt.fields:
+                try:
+                    i = int(f.name[4:])
+                except ValueError:
+                    i = -1
+                if not 0 <= i < n:
+                    problems.append(
+                        f"{path}.{f.name}: union has no alternative "
+                        f"{f.name!r} (n={n})"
+                    )
+                    continue
+                problems.extend(_type_conforms(
+                    schema.alternatives[i], f.dataType, f"{path}.{f.name}"
+                ))
+            return problems
+        # Anything else can't carry the union: the compiler's no-match /
+        # branch-descent expressions address alt_i fields, so fail at
+        # preflight with a actionable message instead of an
+        # AnalysisException mid-plan.
+        return [
+            f"{path}: union columns must use the struct-of-branches "
+            f"encoding struct<alt_0:…, alt_1:…>; got {dt.simpleString()}"
+        ]
     if isinstance(schema, SText):
         if isinstance(dt, StringType):
             return []
@@ -604,18 +743,37 @@ def _mask_node(schema: Schema, value: Column, *, required: bool) -> Column:
     if isinstance(schema, SOptional):
         inner = _mask_node(schema.inner, value, required=True)
         return value.isNull() | inner
-    if isinstance(schema, (SBoolean, SNull, SUnion)):
+    if isinstance(schema, (SBoolean, SNull)):
         return F.lit(True) if not required or isinstance(
-            schema, (SNull, SUnion)
+            schema, SNull
         ) else value.isNotNull()
+    if isinstance(schema, SUnion):
+        # mirrors _union_structural + (opt-in) branch violations: row is
+        # clean iff some branch matched and the first-matched branch is
+        # itself clean. Branch checks run even when validate_branches is
+        # off — a FALSE mask only routes the row to the slow path, which
+        # then computes the true (no-op) violation arrays; a TRUE mask
+        # with a hidden structural error would be the bug.
+        ok = _union_matched(schema, value)
+        for i, alt in enumerate(schema.alternatives):
+            if isinstance(alt, SNull):
+                continue
+            branch_ok = _mask_node(alt, value[f"alt_{i}"], required=False)
+            ok = ok & F.coalesce(
+                F.when(value[f"alt_{i}"].isNotNull(), branch_ok),
+                F.lit(True),
+            )
+        return ok
     own = _constraint_ok(schema, value)
     present = value.isNotNull() if required else F.lit(True)
     if isinstance(schema, (SText, SNumber)):
         return present & own
     if isinstance(schema, SArray):
         elem_required = not isinstance(schema.item, (SOptional, SNull, SUnion))
+        # SAME predicate as the structural compiler (structural_possible)
+        # so mask and structural can never disagree (round-1 ADVICE bug)
         needs_descent = elem_required or _has_any_constraint(schema.item) \
-            or isinstance(schema.item, SObject)
+            or structural_possible(schema.item)
         if needs_descent:
             elem_ok = F.forall(
                 value,

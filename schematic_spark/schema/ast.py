@@ -338,12 +338,26 @@ class SOptional(Schema):
 
 @dataclass(frozen=True)
 class SUnion(Schema):
-    """Left-biased structural first-match (Schema.hs:514-519);
-    constraint validation inside a union is a NO-OP for reference parity
-    (Validation.hs:244 — FIXME in the reference). ``validate_branches``
-    on the engine enables real validation as an opt-in extension."""
+    """Left-biased structural first-match (Schema.hs:514-519). A value
+    matching NO alternative fails the parse — in the engine that is a
+    structural error ``"empty union"`` (the message aeson surfaces when
+    the alternative chain bottoms out, Schema.hs:515). In the
+    struct-of-nullable-branches column encoding, "no branch matched" =
+    every ``alt_i`` is null (and the union has no SNull alternative).
+
+    Constraint validation inside a union is a NO-OP for reference parity
+    (Validation.hs:244 — FIXME in the reference); ``validate_branches=
+    True`` opts into really validating the first-matched branch's
+    constraints (engine extension, mirrored by the interpreter's
+    ``validate_unions`` flag).
+
+    Deviation noted for parity-hunters: the reference parses a union
+    *field* against the WHOLE enclosing object value (Schema.hs:564 —
+    it never looks the field name up); we parse the field's own value,
+    like the interpreter (interpret.py) does."""
 
     alternatives: tuple[Schema, ...]
+    validate_branches: bool = False
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "alternatives", tuple(self.alternatives))

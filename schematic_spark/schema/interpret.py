@@ -256,8 +256,10 @@ def validate_parsed(
             )
     elif isinstance(schema, SUnion):
         # Reference parity: union validation is a NO-OP (Validation.hs:244
-        # FIXME). Opt-in real validation of the matching branch:
-        if validate_unions:
+        # FIXME). Opt-in real validation of the matching branch — either
+        # globally (validate_unions) or per-node (SUnion.validate_branches,
+        # the flag the Catalyst compiler honours):
+        if validate_unions or schema.validate_branches:
             for alt in schema.alternatives:
                 try:
                     parsed = structural_parse(alt, value, path)

@@ -90,7 +90,10 @@ def parse_spec(spec: dict | str) -> Schema:
     if t == "optional":
         return SOptional(parse_spec(spec["inner"]))
     if t == "union":
-        return SUnion(tuple(parse_spec(a) for a in spec["alternatives"]))
+        return SUnion(
+            tuple(parse_spec(a) for a in spec["alternatives"]),
+            validate_branches=bool(spec.get("validate_branches", False)),
+        )
     raise ValueError(f"unknown schema type: {t!r}")
 
 
@@ -135,8 +138,11 @@ def dump_spec(schema: Schema) -> dict:
     if isinstance(schema, SOptional):
         return {"type": "optional", "inner": dump_spec(schema.inner)}
     if isinstance(schema, SUnion):
-        return {
+        out = {
             "type": "union",
             "alternatives": [dump_spec(a) for a in schema.alternatives],
         }
+        if schema.validate_branches:
+            out["validate_branches"] = True
+        return out
     raise TypeError(f"unknown schema node {schema!r}")

@@ -1,0 +1,276 @@
+"""Union no-match + mask/structural agreement (round-2 fixes).
+
+Covers:
+  * the round-1 ADVICE-high bug — an array item of SOptional(SObject)
+    with a missing required field must NOT be masked Valid;
+  * union no-match → DecodingError "empty union" (Schema.hs:514-519);
+  * SNull alternative absorbs the all-null case;
+  * validate_branches opt-in (constraint validation of the matched
+    branch; no-op parity with Validation.hs:244 when off);
+  * Spark compiler ⇔ pure interpreter agreement on all of the above.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from schematic_spark.schema.ast import (
+    SArray,
+    SNull,
+    SNumber,
+    SObject,
+    SOptional,
+    SText,
+    SUnion,
+    TGe,
+    TGt,
+)
+from schematic_spark.schema.interpret import parse_and_validate
+from schematic_spark.schema.parser import dump_spec, parse_spec
+from schematic_spark.validation import validate
+
+
+def _verdicts(res):
+    return [
+        (r["doc_id"], r["_verdict"], r["_decoding_error"])
+        for r in res.annotated.select(
+            "doc_id", "_verdict", "_decoding_error"
+        ).orderBy("doc_id").collect()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE-high regression: mask vs structural on SOptional(SObject) items
+# ---------------------------------------------------------------------------
+
+def test_mask_descends_optional_object_array_items(spark):
+    spec = SObject((
+        ("doc_id", SText()),
+        ("arr", SArray(SOptional(SObject((("x", SText()),))))),
+    ))
+    st = StructType([
+        StructField("doc_id", StringType()),
+        StructField("arr", ArrayType(
+            StructType([StructField("x", StringType())]))),
+    ])
+    rows = [
+        ("a", [{"x": None}]),   # required text field x missing → decode err
+        ("b", [{"x": "ok"}]),   # fine
+        ("c", [None]),          # optional item null → fine
+        ("d", []),              # empty → fine
+    ]
+    res = validate(spark.createDataFrame(rows, st), spec)
+    got = {r[0]: (r[1], r[2]) for r in _verdicts(res)}
+    assert got["a"] == ("DecodingError", 'No text field: "x"')
+    assert got["b"] == ("Valid", None)
+    assert got["c"] == ("Valid", None)
+    assert got["d"] == ("Valid", None)
+    # interpreter agreement
+    assert parse_and_validate(
+        spec, {"doc_id": "a", "arr": [{"x": None}]}
+    ).verdict == "DecodingError"
+    assert parse_and_validate(
+        spec, {"doc_id": "b", "arr": [{"x": "ok"}]}
+    ).verdict == "Valid"
+
+
+def test_mask_descends_nested_array_of_arrays(spark):
+    # deeper nesting: array<array<struct>> — shared predicate must recurse
+    spec = SObject((
+        ("doc_id", SText()),
+        ("arr", SArray(SOptional(SArray(SObject((("y", SNumber()),)))))),
+    ))
+    st = StructType([
+        StructField("doc_id", StringType()),
+        StructField("arr", ArrayType(ArrayType(
+            StructType([StructField("y", DoubleType())])))),
+    ])
+    rows = [
+        ("a", [[{"y": None}]]),  # missing number field deep down
+        ("b", [[{"y": 1.0}]]),
+    ]
+    res = validate(spark.createDataFrame(rows, st), spec)
+    got = {r[0]: r[1] for r in _verdicts(res)}
+    assert got["a"] == "DecodingError"
+    assert got["b"] == "Valid"
+
+
+# ---------------------------------------------------------------------------
+# Union no-match
+# ---------------------------------------------------------------------------
+
+def _union_spec(validate_branches=False):
+    return SObject((
+        ("doc_id", SText()),
+        ("u", SUnion(
+            (SText((TGt(3),)), SNumber()),
+            validate_branches=validate_branches,
+        )),
+    ))
+
+
+_UNION_ST = StructType([
+    StructField("doc_id", StringType()),
+    StructField("u", StructType([
+        StructField("alt_0", StringType()),
+        StructField("alt_1", DoubleType()),
+    ])),
+])
+
+
+def test_union_no_match_is_decoding_error(spark):
+    spec = _union_spec()
+    rows = [
+        ("a", {"alt_0": None, "alt_1": None}),  # no branch → empty union
+        ("b", {"alt_0": "text", "alt_1": None}),
+        ("c", {"alt_0": None, "alt_1": 7.0}),
+        ("d", None),                            # whole struct null → no match
+    ]
+    res = validate(spark.createDataFrame(rows, _UNION_ST), spec)
+    got = {r[0]: (r[1], r[2]) for r in _verdicts(res)}
+    assert got["a"] == ("DecodingError", "empty union")
+    assert got["b"] == ("Valid", None)
+    assert got["c"] == ("Valid", None)
+    assert got["d"] == ("DecodingError", "empty union")
+    # interpreter: a value matching no branch fails the same way
+    r = parse_and_validate(
+        SObject((("u", SUnion((SText(), SNumber()))),)), {"u": True}
+    )
+    assert r.verdict == "DecodingError"
+    assert r.decoding_error == "empty union"
+
+
+def test_union_null_branch_absorbs_null(spark):
+    spec = SObject((
+        ("doc_id", SText()),
+        ("u", SUnion((SText(), SNull()))),
+    ))
+    st = StructType([
+        StructField("doc_id", StringType()),
+        StructField("u", StructType([StructField("alt_0", StringType())])),
+    ])
+    rows = [("a", {"alt_0": None}), ("b", {"alt_0": "x"})]
+    res = validate(spark.createDataFrame(rows, st), spec)
+    got = {r[0]: r[1] for r in _verdicts(res)}
+    assert got == {"a": "Valid", "b": "Valid"}
+
+
+def test_union_in_array_null_element(spark):
+    spec = SObject((
+        ("doc_id", SText()),
+        ("arr", SArray(SUnion((SText(), SNumber())))),
+    ))
+    st = StructType([
+        StructField("doc_id", StringType()),
+        StructField("arr", ArrayType(StructType([
+            StructField("alt_0", StringType()),
+            StructField("alt_1", DoubleType()),
+        ]))),
+    ])
+    rows = [
+        ("a", [{"alt_0": None, "alt_1": None}]),  # element matches nothing
+        ("b", [{"alt_0": "s", "alt_1": None}]),
+    ]
+    res = validate(spark.createDataFrame(rows, st), spec)
+    got = {r[0]: r[1] for r in _verdicts(res)}
+    assert got["a"] == "DecodingError"
+    assert got["b"] == "Valid"
+
+
+# ---------------------------------------------------------------------------
+# validate_branches opt-in
+# ---------------------------------------------------------------------------
+
+def test_union_branch_validation_opt_in(spark):
+    rows = [("a", {"alt_0": "ab", "alt_1": None})]  # len 2 violates TGt(3)
+
+    noop = validate(
+        spark.createDataFrame(rows, _UNION_ST), _union_spec(False)
+    )
+    assert _verdicts(noop)[0][1] == "Valid"  # Validation.hs:244 parity
+
+    strict = validate(
+        spark.createDataFrame(rows, _UNION_ST), _union_spec(True)
+    )
+    ann = strict.annotated.collect()[0]
+    assert ann["_verdict"] == "ValidationError"
+    assert [(v["path"], v["error"]) for v in ann["_violations"]] == [
+        (".u", "length should be > 3")
+    ]
+    # interpreter twin honours the per-node flag
+    spec = SObject((("u", SUnion((SText((TGt(3),)), SNumber()),
+                                 validate_branches=True)),))
+    r = parse_and_validate(spec, {"u": "ab"})
+    assert r.verdict == "ValidationError"
+    assert r.violations == [(".u", "length should be > 3")]
+
+
+def test_union_branch_structural_descent(spark):
+    # first-matched branch is an object with a missing required field
+    spec = SObject((
+        ("doc_id", SText()),
+        ("u", SUnion((SObject((("x", SText()),)), SNumber()))),
+    ))
+    st = StructType([
+        StructField("doc_id", StringType()),
+        StructField("u", StructType([
+            StructField("alt_0", StructType([
+                StructField("x", StringType())])),
+            StructField("alt_1", DoubleType()),
+        ])),
+    ])
+    rows = [
+        ("a", {"alt_0": {"x": None}, "alt_1": None}),  # branch broken
+        ("b", {"alt_0": {"x": "ok"}, "alt_1": None}),
+        ("c", {"alt_0": None, "alt_1": 2.0}),
+    ]
+    res = validate(spark.createDataFrame(rows, st), spec)
+    got = {r[0]: r[1] for r in _verdicts(res)}
+    assert got["a"] == "DecodingError"
+    assert got["b"] == "Valid"
+    assert got["c"] == "Valid"
+
+
+def test_union_spec_roundtrip():
+    spec = SUnion((SText(), SNumber()), validate_branches=True)
+    assert parse_spec(dump_spec(spec)) == spec
+    spec2 = SUnion((SText(), SNull()))
+    assert parse_spec(dump_spec(spec2)) == spec2
+
+
+# ---------------------------------------------------------------------------
+# Raw-JSON ingest: missing key vs explicit null vs wrong type (SNull)
+# ---------------------------------------------------------------------------
+
+def test_json_null_field_three_way(spark):
+    from schematic_spark.sources.json_ingest import validate_json_strings
+
+    spec = SObject((
+        ("foo", SText()),
+        ("bar", SNull()),
+    ))
+    rows = [
+        ("missing", '{"foo": "a"}'),
+        ("explicit_null", '{"foo": "a", "bar": null}'),
+        ("wrong_type", '{"foo": "a", "bar": 5}'),
+        ("malformed", '{"foo": '),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, raw string")
+    res = validate_json_strings(df, "raw", spec)
+    got = {
+        r["doc_id"]: (r["_verdict"], r["_decoding_error"])
+        for r in res.annotated.select(
+            "doc_id", "_verdict", "_decoding_error"
+        ).collect()
+    }
+    assert got["missing"] == ("DecodingError", 'No null field: "bar"')
+    assert got["explicit_null"] == ("Valid", None)
+    assert got["wrong_type"] == ("DecodingError", "expected Null")
+    assert got["malformed"] == ("DecodingError", "malformed json")
