@@ -255,9 +255,38 @@ def _q_exact_dup_groups_documents(spark, sf_dir):
     )
 
 
-# --- rows-only (non-SQL-expressible) ---------------------------------------
+# --- formerly rows-only; all five now carry DuckDB oracles -----------------
+
+#: parquet dump of the deterministic generated table, shared with the
+#: DuckDB oracle (the oracle SQL read_parquet's the same files; the
+#: query function writes them first, and the driver/check harness runs
+#: the Spark side before the oracle side)
+_ORACLE_TMP = "/tmp/schematic_spark_oracle"
+_INTERLEAVED_N = 5000
+_INTERLEAVED_MEDIA = 500
+
+
+def _interleaved_parquet(spark) -> str:
+    path = f"{_ORACLE_TMP}/interleaved_{_INTERLEAVED_N}"
+    if not getattr(_interleaved_parquet, "_done", False):
+        from schematic_spark.generator import (
+            GeneratorConfig, interleaved_documents,
+        )
+
+        docs = interleaved_documents(spark, GeneratorConfig(
+            n_docs=_INTERLEAVED_N, seed=42, n_media=_INTERLEAVED_MEDIA,
+        ))
+        docs.write.mode("overwrite").parquet(path)
+        _interleaved_parquet._done = True
+    return path
+
 
 def _q_minhash_near_dups_documents(spark, sf_dir):
+    """MinHash-LSH candidate discovery + exact n-gram-Jaccard verify;
+    the oracle computes exact ALL-PAIRS Jaccard in DuckDB, so a match
+    also certifies 100% LSH recall at this threshold on this corpus
+    (bands=16, r=2 ⇒ knee ~0.25, miss probability at s=0.6 is
+    (1-0.36)^16 ≈ 0.08%)."""
     from schematic_spark.functions import minhash_near_duplicates
 
     docs = _read(spark, sf_dir, "documents")
@@ -271,31 +300,26 @@ def _q_minhash_near_dups_documents(spark, sf_dir):
 
 def _q_validate_interleaved(spark, sf_dir):
     """Generated interleaved-docs table (north-rule input) through the
-    full validation; per-verdict summary. Generator is deterministic —
-    rows-only check still pins counts across rounds."""
-    from schematic_spark.generator import (
-        GeneratorConfig, INTERLEAVED_SPEC, interleaved_documents,
-    )
+    full validation; per-verdict summary, oracled in SQL over the same
+    parquet dump."""
+    from schematic_spark.generator import INTERLEAVED_SPEC
     from schematic_spark.validation import validate
 
-    docs = interleaved_documents(
-        spark, GeneratorConfig(n_docs=5000, seed=42, n_media=500)
-    )
+    docs = spark.read.parquet(_interleaved_parquet(spark))
     return validate(docs, INTERLEAVED_SPEC).summary().orderBy("verdict")
 
 
 def _q_interleaved_suite(spark, sf_dir):
     """Uniqueness + referential + span-order over the interleaved table —
-    one row of suite verdict counts."""
+    one row of suite verdict counts. The oracle recomputes the media
+    dimension from the generator's LCG arithmetic in pure SQL."""
     from schematic_spark.generator import (
-        GeneratorConfig, exploded_spans, interleaved_documents, media_dim,
-        non_monotonic_docs,
+        exploded_spans, media_dim, non_monotonic_docs,
     )
     from schematic_spark.suite import dangling_rows, duplicate_keys_salted
 
-    cfg = GeneratorConfig(n_docs=5000, seed=42, n_media=500)
-    docs = interleaved_documents(spark, cfg).cache()
-    media = media_dim(spark, cfg.n_media)
+    docs = spark.read.parquet(_interleaved_parquet(spark))
+    media = media_dim(spark, _INTERLEAVED_MEDIA)
     n_dup = duplicate_keys_salted(docs, "doc_id", salt_buckets=16).count()
     spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
     n_dangling = dangling_rows(spans, media, "media_ref", broadcast=True) \
@@ -308,10 +332,15 @@ def _q_interleaved_suite(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    from schematic_spark.functions import extract_features, synthetic_media
+    """Media decode plumbing (mapInPandas, quarantine semantics) over a
+    media table DERIVED from documents, so n_bytes/decode_ok/kind are
+    all SQL-derivable from the same source for the oracle."""
+    from schematic_spark.functions import (
+        extract_features, media_from_documents,
+    )
 
-    media = synthetic_media(spark, 500)
-    feats = extract_features(media)
+    docs = _read(spark, sf_dir, "documents")
+    feats = extract_features(media_from_documents(docs))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
@@ -320,10 +349,15 @@ def _q_media_features(spark, sf_dir):
 
 
 def _q_simhash_documents(spark, sf_dir):
+    """UDF-free Catalyst SimHash (md5 60-bit token hashes) + Charikar
+    block-join discovery (exact, 100% recall); the oracle recomputes the
+    identical signatures and all-pairs Hamming in DuckDB."""
     from schematic_spark.functions import simhash_near_duplicates
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = simhash_near_duplicates(docs, "text", "doc_id", max_hamming=1)
+    pairs = simhash_near_duplicates(
+        docs, "text", "doc_id", max_hamming=1, catalyst=True
+    )
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
@@ -349,8 +383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _q_cosine_topk_embeddings,
         "events_value_histogram": _q_events_value_histogram,
         "exact_dup_groups_documents": _q_exact_dup_groups_documents,
-        # rows-only (non-SQL-expressible: LSH banding, generator,
-        # pandas-UDF media decode, simhash signatures)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "validate_interleaved": _q_validate_interleaved,
         "interleaved_suite": _q_interleaved_suite,
@@ -606,5 +638,135 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    substring(norm, 1, 40) AS norm_prefix
             FROM n GROUP BY norm HAVING count(*) > 1
+        """,
+        # exact all-pairs n-gram Jaccard — certifies the LSH pipeline's
+        # recall as well as the verify stage's arithmetic
+        "minhash_near_dups_documents": r"""
+            WITH n AS (
+              SELECT doc_id, trim(regexp_replace(regexp_replace(
+                     lower(text), '[^\w\s]', '', 'g'),
+                     '\s+', ' ', 'g')) AS norm
+              FROM documents),
+            tk AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS toks
+                   FROM n),
+            sh AS (SELECT doc_id, list_distinct(
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE [array_to_string(toks[i:i+2], ' ')
+                                for i in generate_series(1, len(toks)-2)]
+                     END) AS sh
+                   FROM tk),
+            p AS (
+              SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / greatest(len(list_distinct(
+                         list_concat(a.sh, b.sh))), 1) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT round(jaccard, 1) AS jaccard_bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p WHERE jaccard >= 0.6 GROUP BY 1
+        """,
+        "validate_interleaved": f"""
+            WITH d AS (SELECT * FROM read_parquet(
+              '{_ORACLE_TMP}/interleaved_{_INTERLEAVED_N}/*.parquet')),
+            v AS (
+              SELECT (CASE WHEN NOT (length(doc_id) > 0)
+                      THEN 1 ELSE 0 END)
+                   + (CASE WHEN NOT (len(spans) >= 1) THEN 1 ELSE 0 END)
+                   + (CASE WHEN NOT (len(spans) <= 10) THEN 1 ELSE 0 END)
+                   + len(list_filter(spans,
+                         s -> s.kind NOT IN ('text', 'media')))
+                   + len(list_filter(spans, s -> s.text IS NOT NULL
+                         AND NOT (length(s.text) >= 1)))
+                   + len(list_filter(spans, s -> s.media_ref IS NOT NULL
+                         AND NOT regexp_matches(s.media_ref,
+                         '[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{12}}')))
+                   + len(list_filter(spans, s -> NOT (s.offset >= 0)))
+                   AS nv
+              FROM d)
+            SELECT CASE WHEN nv > 0 THEN 'ValidationError'
+                        ELSE 'Valid' END AS verdict,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(nv) AS BIGINT) AS n_violations
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
+        # the media dimension is re-derived from the generator's Lehmer
+        # LCG (media_uuid, generator.py) in pure SQL arithmetic
+        "interleaved_suite": f"""
+            WITH d AS (SELECT * FROM read_parquet(
+              '{_ORACLE_TMP}/interleaved_{_INTERLEAVED_N}/*.parquet')),
+            media AS (
+              SELECT printf('%08x-%04x-%04x-%04x-%012x',
+                (i*48271 + 11*16807) % 2147483647,
+                ((i*48271 + 12*16807) % 2147483647) % 65536,
+                ((i*48271 + 13*16807) % 2147483647) % 65536,
+                ((i*48271 + 14*16807) % 2147483647) % 65536,
+                (((i*48271 + 15*16807) % 2147483647) % 65536)
+                  * 2147483648 + ((i*48271 + 16*16807) % 2147483647)
+              ) AS media_ref
+              FROM (SELECT unnest(generate_series(0,
+                    {_INTERLEAVED_MEDIA - 1})) AS i))
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                 SELECT doc_id FROM d GROUP BY doc_id
+                 HAVING count(*) > 1)) AS n_dup_doc_ids,
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                 SELECT unnest(spans) AS s FROM d)
+               WHERE s.media_ref IS NOT NULL
+                 AND s.media_ref NOT IN (SELECT media_ref FROM media))
+               AS n_dangling_media,
+              (SELECT CAST(count(*) AS BIGINT) FROM d
+               WHERE len(spans) >= 2 AND len(list_filter(
+                     generate_series(1, len(spans) - 1),
+                     i -> spans[i+1].offset <= spans[i].offset)) > 0)
+               AS n_out_of_order
+        """,
+        "media_features": """
+            WITH m AS (
+              SELECT CASE WHEN text IS NULL THEN NULL
+                          ELSE ['image','audio','video']
+                               [(length(text) % 3) + 1] END AS kind,
+                     CASE WHEN text IS NULL THEN 0
+                          ELSE octet_length(encode(text)) END AS n_bytes,
+                     CASE WHEN text IS NOT NULL AND length(text) > 0
+                          THEN 1 ELSE 0 END AS ok
+              FROM documents)
+            SELECT kind, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ok) AS BIGINT) AS n_ok,
+                   round(avg(n_bytes), 4) AS avg_bytes
+            FROM m GROUP BY kind
+        """,
+        # identical md5-prefix signatures recomputed in SQL, then exact
+        # all-pairs Hamming — certifies the Charikar block join end-to-end
+        "simhash_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL),
+            th AS (
+              SELECT doc_id, list_sum([
+                  (CAST(strpos('0123456789abcdef',
+                               substring(md5(tok), i, 1)) - 1 AS BIGINT)
+                   << ((15 - i) * 4))
+                  for i in generate_series(1, 15)]) AS h
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h & (CAST(1 AS BIGINT) << b)) <> 0
+                         THEN 1 ELSE 0 END) AS ones,
+                     count(*) AS n
+              FROM th, (SELECT unnest(generate_series(0, 59)) AS b)
+              GROUP BY doc_id, b),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN 2 * ones > n
+                              THEN (CAST(1 AS BIGINT) << b)
+                              ELSE 0 END) AS BIGINT) AS sig
+              FROM bits GROUP BY doc_id)
+            SELECT CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 1
+            GROUP BY 1
         """,
     }

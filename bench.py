@@ -188,6 +188,26 @@ def main():
                 qtimes[name] = -1.0
                 print(f"query {name} failed: {e}", file=sys.stderr)
 
+    minhash_stats: dict = {}
+    if which != "none":
+        # LSH health guard: candidate pairs per doc (bands=16, r=2 ⇒
+        # knee ~0.25 — generous for threshold 0.6; a blow-up here means
+        # the corpus is template-heavy and bands should drop to 8)
+        from schematic_spark.functions.dedup import minhash_lsh_candidates
+
+        t = time.time()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs_t = docs.count()
+        n_cand = minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=32, bands=16
+        ).count()
+        minhash_stats = {
+            "n_docs": n_docs_t,
+            "n_candidate_pairs": n_cand,
+            "candidates_per_doc": round(n_cand / max(n_docs_t, 1), 4),
+            "sec": round(time.time() - t, 3),
+        }
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "full_constraint_suite_interleaved_docs",
@@ -200,6 +220,7 @@ def main():
         },
         "suite_n_docs": suite["n_docs"],
         "queries": qtimes,
+        "minhash_lsh": minhash_stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }

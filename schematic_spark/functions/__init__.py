@@ -9,6 +9,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     shingles,
     simhash,
+    simhash_catalyst,
     simhash_near_duplicates,
 )
 from .media import (  # noqa: F401
@@ -16,6 +17,7 @@ from .media import (  # noqa: F401
     FEATURE_DIM,
     MEDIA_SCHEMA,
     extract_features,
+    media_from_documents,
     synthetic_media,
 )
 from .similarity import (  # noqa: F401

@@ -119,8 +119,21 @@ def minhash_lsh_candidates(
     max_bucket_size: int = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a, id_b, band) from banded MinHash.
-    rows-per-band r = num_hashes/bands sets the similarity knee at
-    ~(1/bands)^(1/r).
+
+    **Banding knob** (rows-per-band r = num_hashes/bands): the
+    candidate probability for a pair with Jaccard s is 1-(1-s^r)^b,
+    with the knee at ~(1/b)^(1/r). Presets for 32 hashes:
+
+      ====== === ====== ==============================================
+      bands   r   knee  use when
+      ====== === ====== ==============================================
+      16      2   0.25  high recall for thresholds ≥0.5; generous —
+                        low-similarity template corpora generate more
+                        candidates for the verify join (the
+                        candidates/doc metric in bench.py watches this)
+      8       4   0.59  balanced for threshold ~0.7 (default)
+      4       8   0.84  near-exact-dup only; cheapest at 100 TB
+      ====== === ====== ==============================================
 
     ``max_bucket_size`` drops degenerate buckets (near-universal
     shingles collapse many docs into one bucket → quadratic pair
@@ -250,27 +263,55 @@ def minhash_near_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def _simhash64_impl(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — vectorized numpy inside
-    an Arrow batch (no per-row JVM crossings)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for idx, t in enumerate(texts):
-        if not t:
-            continue
-        tokens = str(t).lower().split()
-        if not tokens:
-            continue
-        hashes = np.fromiter(
-            (hash_token(tok) for tok in tokens),
-            dtype=np.uint64, count=len(tokens),
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-        votes = bits.sum(axis=0) * 2 - len(tokens)  # +1/-1 vote sums
-        sig = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[idx] = np.int64(sig)
+    """64-bit SimHash over whitespace tokens — FULLY batch-vectorized
+    numpy over the Arrow batch: no Python-level per-row or per-token
+    loop anywhere. The only Python loop is over BYTE POSITIONS of the
+    flattened token buffer (bounded by the longest token, typically
+    <30 iterations regardless of batch size), which keeps the hash
+    byte-exact FNV-1a — signatures are identical to the per-token
+    reference ``hash_token`` (pinned by fixture tests)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    toks = texts.fillna("").astype(str).str.lower().str.split()
+    counts = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    if counts.sum() == 0:
+        return pd.Series(out)
+    flat = toks.explode().dropna()
+    enc = flat.str.encode("utf-8")
+    lens = enc.str.len().to_numpy(dtype=np.int64)
+    buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # FNV-1a, vectorized ACROSS tokens: iterate byte positions, each
+    # step one masked numpy xor+multiply over every still-active token
+    h = np.full(len(lens), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max())):
+            active = lens > j
+            hj = h[active]
+            hj ^= buf[offsets[active] + j].astype(np.uint64)
+            hj *= _FNV_PRIME
+            h[active] = hj
+    # per-document bit votes: one (tokens × 64) bit matrix + segmented
+    # sums at document boundaries
+    bits = (
+        (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64)
+    row_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nonempty = counts > 0
+    ones = np.add.reduceat(bits, row_starts[nonempty], axis=0)
+    sig_bits = (2 * ones) > counts[nonempty][:, None]  # +1/-1 vote > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sigs = (sig_bits.astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = sigs.view(np.int64)
     return pd.Series(out)
 
 
@@ -298,21 +339,93 @@ def simhash(col: Column | str) -> Column:
     return _simhash64(c)
 
 
+# --- pure-Catalyst SimHash (no UDF at all) ---------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64 exactly
+
+
+def _simhash_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != ""
+    )
+
+
+def simhash_catalyst(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash computed ENTIRELY in Catalyst — zero Python anywhere:
+
+    * token hash = first 15 hex chars of ``md5(token)`` parsed as int64
+      (`conv` base-16) — chosen because DuckDB computes the identical
+      value, so the whole signature is oracle-checkable in SQL;
+    * per-bit votes via ONE ``aggregate`` with an array<long>
+      accumulator (``zip_with`` against a literal 2^b array — bitwiseAND
+      instead of shift-by-column, no 64KB-codegen unrolling);
+    * bit b set iff strictly more than half the tokens have it set
+      (the classic +1/−1 majority).
+
+    Empty/whitespace-only text → signature 0.
+    """
+    toks = _simhash_tokens(col)
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                pow2,
+                lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(toks).cast("long")
+    return F.aggregate(
+        F.zip_with(
+            votes, pow2,
+            lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    catalyst: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(sig_a, sig_b) ≤ t.
 
-    Charikar block trick: split the 64-bit signature into t+1 blocks;
-    any pair within Hamming ≤ t must agree exactly on ≥1 block, so an
-    equi-join per block finds all candidates with a cheap shuffle."""
+    Charikar block trick: split the signature into t+1 blocks; any pair
+    within Hamming ≤ t must agree exactly on ≥1 block, so an equi-join
+    per block finds ALL candidates (100% recall — the trick is exact,
+    not probabilistic) with a cheap shuffle.
+
+    ``catalyst=True`` uses the UDF-free md5-based signature
+    (:func:`simhash_catalyst`, 60 bits, oracle-checkable); the default
+    keeps the vectorized-FNV pandas-UDF signature (64 bits). Documents
+    with no tokens are excluded in catalyst mode (their signature is
+    degenerate 0 and would pair with each other)."""
+    if catalyst:
+        sig_bits = SIMHASH_BITS
+        sig = df.where(F.size(_simhash_tokens(text_col)) > 0).select(
+            F.col(id_col), simhash_catalyst(text_col).alias("_sig")
+        )
+    else:
+        sig_bits = 64
+        sig = df.select(F.col(id_col), simhash(text_col).alias("_sig"))
     n_blocks = max_hamming + 1
-    width = 64 // n_blocks
-    sig = df.select(F.col(id_col), simhash(text_col).alias("_sig"))
+    width = sig_bits // n_blocks
     blocks = sig.select(
         id_col, "_sig",
         F.explode(F.array(*[
@@ -387,14 +500,31 @@ def embedding_near_duplicates(
     signs so the verify join is per-bucket, not n^2. ``probe_hamming=1``
     also joins buckets differing in one bit (recall boost near plane
     boundaries)."""
-    from .similarity import hyperplane_signature, _PLANE_DIM_ERR
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, cosine double"
+    from .similarity import hyperplane_signature
+
+    id_type = df.schema[id_col].dataType
+    empty_schema = StructType([
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+    # one agg pass pins the dimension for the whole table — a single
+    # sampled row can't be trusted (ragged embedding columns would make
+    # the plane dot products silently wrong)
+    stats = df.agg(
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+    ).first()
+    if stats is None or stats["lo"] is None:
+        return df.sparkSession.createDataFrame([], empty_schema)
+    if stats["lo"] != stats["hi"]:
+        raise ValueError(
+            f"embedding dims vary ({stats['lo']}..{stats['hi']}) in "
+            f"{vec_col!r}; filter to one dimension before near-dup LSH"
         )
-    dim = first["d"]
+    dim = stats["hi"]
     sig = df.select(
         F.col(id_col), F.col(vec_col),
         hyperplane_signature(

@@ -161,3 +161,30 @@ def synthetic_media(spark, n: int, *, seed: int = 42) -> DataFrame:
              .alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def media_from_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic media table DERIVED from a documents table: kind
+    from the text length mod 3, payload = the UTF-8 bytes of the text.
+    Unlike :func:`synthetic_media` (spark.range based), every derived
+    value is expressible in plain SQL over the same source table, so
+    the mapInPandas decode plumbing (n_bytes / decode_ok / quarantine
+    rows) is DuckDB-oracle-checkable end to end."""
+    kind = F.try_element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.length(F.col(text_col)), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("x/"), kind).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

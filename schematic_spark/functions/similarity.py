@@ -23,9 +23,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_PLANE_DIM_ERR = "embedding dim mismatch vs hyperplane dim"
-
-
 def _dot_lit(vec: Column, plane: np.ndarray) -> Column:
     """Dot product of a vector column with a constant plane via
     zip_with + aggregate over an array literal. (Unrolled per-element
@@ -152,7 +149,10 @@ def train_centroids(
     is O(sample·dim) regardless of table size."""
     rows = (
         df.select(vec_col)
-        .orderBy(F.xxhash64(F.to_json(F.struct(vec_col))))  # seeded-ish, deterministic
+        # deterministic pseudo-random sample: TakeOrdered on a direct
+        # hash of the vector column (one cheap hash per row — no
+        # to_json serialization, no full sort/shuffle)
+        .orderBy(F.xxhash64(F.col(vec_col)))
         .limit(sample)
         .collect()
     )

@@ -201,8 +201,61 @@ def drop_column_upgrade(name: str) -> Upgrade:
     return up
 
 
+def update_field_upgrade(column: str, path: tuple[str, ...], fn) -> Upgrade:
+    """Nested-path data upgrade — the runtime twin of a path-targeted
+    schema ``Diff`` (Migration.hs:119-125): functionally update the value
+    at ``path`` below top-level ``column`` (struct fields via
+    ``withField``, array traversal via ``transform`` — TRAVERSE
+    segments). ``fn`` is Column→Column on the old value, or a literal.
+
+    Example: lift every span's offset by 10::
+
+        update_field_upgrade("spans", (TRAVERSE, "offset"),
+                             lambda old: old + 10)
+    """
+    from .accessors import set_at_path
+
+    def up(df: DataFrame) -> DataFrame:
+        return df.withColumn(column, set_at_path(F.col(column), path, fn))
+    return up
+
+
+def add_field_upgrade(
+    column: str, path: tuple[str, ...], name: str, value
+) -> Upgrade:
+    """AddKey below top level: add struct field ``name`` (with a literal
+    default or a Column-valued function of the owning struct) at
+    ``path`` under ``column``."""
+    from pyspark.sql import Column as _Col
+
+    from .accessors import set_at_path
+
+    def add(node):
+        v = value(node) if callable(value) else (
+            value if isinstance(value, _Col) else F.lit(value)
+        )
+        return node.withField(name, v)
+
+    def up(df: DataFrame) -> DataFrame:
+        return df.withColumn(column, set_at_path(F.col(column), path, add))
+    return up
+
+
+def drop_field_upgrade(column: str, path: tuple[str, ...], name: str) -> Upgrade:
+    """DeleteKey below top level: drop struct field ``name`` at ``path``
+    under ``column``."""
+    from .accessors import set_at_path
+
+    def up(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            column,
+            set_at_path(F.col(column), path, lambda s: s.dropFields(name)),
+        )
+    return up
+
+
 def validate_versioned(
-    df: DataFrame, spec: VersionedSpec
+    df: DataFrame, spec: VersionedSpec, *, persist: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Newest-first fallback dispatch (Data/Schematic.hs:60-76).
 
@@ -216,7 +269,17 @@ def validate_versioned(
 
     Physical shape: one scan computes a verdict per revision (all plain
     column expressions); the revision split is a set of filters over the
-    same cached projection — no shuffle until callers aggregate.
+    same projection. ``persist=True`` (default) caches the annotated
+    frame — right when it fits in cluster memory. At 100 TB pass
+    ``persist=False``: the verdict projection is cheap to recompute and
+    each revision filter re-reads the (column-pruned) scan instead of
+    materializing the whole table.
+
+    Revisions whose spec the frame's column TYPES cannot carry (e.g. an
+    Update changed number→text, so the old revision's regex would not
+    even analyze against the new numeric column) are skipped: their
+    verdict is a constant non-Valid, exactly the per-document semantics
+    (the reference's parse at that revision would fail).
     """
     versions = spec.versions()
     top_rev, top_schema = versions[0]
@@ -224,7 +287,7 @@ def validate_versioned(
     # columns some revision references but the frame lacks → typed NULLs
     # (they validate as missing-required / optional-absent, exactly the
     # per-document semantics), dropped again before upgrades run
-    from .compiler import spark_type_for
+    from .compiler import check_conformance, spark_type_for
 
     present = set(df.columns)
     added: list[str] = []
@@ -241,9 +304,13 @@ def validate_versioned(
 
     verdict_cols: dict[str, str] = {}
     for rev, schema in versions:
-        cols = compile_verdict_columns(schema)
         cname = f"_verdict__{rev}"
-        marked = marked.withColumn(cname, cols[VERDICT_COL])
+        if check_conformance(schema, marked.schema):
+            # frame types can't carry this revision — constant non-Valid
+            marked = marked.withColumn(cname, F.lit("DecodingError"))
+        else:
+            cols = compile_verdict_columns(schema)
+            marked = marked.withColumn(cname, cols[VERDICT_COL])
         verdict_cols[rev] = cname
 
     # winning revision: first (newest) revision whose verdict is Valid
@@ -254,7 +321,9 @@ def validate_versioned(
         ).otherwise(win_expr)
     # the loop above ends with the NEWEST revision's when() outermost,
     # so newest-valid wins — parseAndValidateWithMList order
-    marked = marked.withColumn("_winning_revision", win_expr).cache()
+    marked = marked.withColumn("_winning_revision", win_expr)
+    if persist:
+        marked = marked.cache()
 
     helper_cols = list(verdict_cols.values()) + ["_winning_revision"] + added
     upgraded: DataFrame | None = None
@@ -279,3 +348,111 @@ def validate_versioned(
     return upgraded, rejected
 
 
+
+# ---------------------------------------------------------------------------
+# Versioned raw-JSON entry point — decodeAndValidateVersionedWithMList
+# ---------------------------------------------------------------------------
+
+def validate_versioned_json_strings(
+    df: DataFrame, json_col: str, spec: VersionedSpec
+) -> tuple[DataFrame, DataFrame]:
+    """Raw JSON bytes → versioned parse — the engine twin of
+    ``decodeAndValidateVersionedWithMList``
+    (``/root/reference/src/Data/Schematic.hs:87-103``): decode the string
+    column against EVERY revision's struct in one projection, dispatch
+    each row to the newest revision it is Valid under
+    (parseAndValidateWithMList order, Data/Schematic.hs:60-76), lift
+    older-revision rows through the registered upgrade chain, and union
+    back to the top revision's shape.
+
+    Returns ``(upgraded_valid, rejected)``; rejected rows (malformed
+    JSON or valid under no revision) keep the original columns plus
+    ``_verdict`` = the TOP revision's verdict.
+
+    Physical shape: one scan, N ``from_json`` parses + N verdict
+    expression trees per row (all Catalyst, no shuffle); the revision
+    split is a set of filters like :func:`validate_versioned`.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .compiler import spark_type_for
+    from .validation import compile_verdict_columns
+
+    versions = spec.versions()
+    top_rev = versions[0][0]
+    passthrough = [c for c in df.columns if c != json_col]
+
+    marked = df
+    doc_cols: dict[str, str] = {}
+    for rev, schema in versions:
+        st = StructType(
+            [StructField(n, spark_type_for(fs), True)
+             for n, fs in schema.fields]
+            + [StructField("_corrupt", StringType())]
+        )
+        dc = f"_doc__{rev}"
+        marked = marked.withColumn(
+            dc,
+            F.from_json(
+                F.col(json_col), st,
+                {"columnNameOfCorruptRecord": "_corrupt",
+                 "mode": "PERMISSIVE"},
+            ),
+        )
+        doc_cols[rev] = dc
+
+    top_doc = F.col(doc_cols[top_rev])
+    malformed = (
+        top_doc["_corrupt"].isNotNull()
+        | F.col(json_col).isNull()
+        | top_doc.isNull()
+    )
+
+    verdict_cols: dict[str, str] = {}
+    for rev, schema in versions:
+        cols = compile_verdict_columns(schema, row=F.col(doc_cols[rev]))
+        cname = f"_jverdict__{rev}"
+        marked = marked.withColumn(
+            cname,
+            F.when(malformed, F.lit("DecodingError"))
+            .otherwise(cols[VERDICT_COL]),
+        )
+        verdict_cols[rev] = cname
+
+    win_expr = F.lit(None).cast("string")
+    for rev, _ in reversed(versions):
+        win_expr = F.when(
+            F.col(verdict_cols[rev]) == "Valid", F.lit(rev)
+        ).otherwise(win_expr)
+    marked = marked.withColumn("_winning_revision", win_expr)
+
+    revs_newest_first = [rev for rev, _ in versions]
+    schemas = dict(versions)
+    upgraded: DataFrame | None = None
+    for idx, rev in enumerate(revs_newest_first):
+        schema = schemas[rev]
+        subset = marked.where(
+            F.col("_winning_revision") == rev
+        ).select(
+            *[F.col(c) for c in passthrough],
+            *[F.col(doc_cols[rev])[n].alias(n)
+              for n in schema.field_names()],
+        )
+        for newer in reversed(revs_newest_first[:idx]):
+            up = spec.upgrades.get(newer)
+            if up is None:
+                raise KeyError(
+                    f"no upgrade function registered for revision {newer!r}"
+                )
+            subset = up(subset)
+        upgraded = subset if upgraded is None else (
+            upgraded.unionByName(subset, allowMissingColumns=True)
+        )
+
+    rejected = marked.where(
+        F.col("_winning_revision").isNull()
+    ).select(
+        *[F.col(c) for c in df.columns],
+        F.col(verdict_cols[top_rev]).alias("_verdict"),
+    )
+    return upgraded, rejected

@@ -140,3 +140,89 @@ def to_json_schema_inner(schema: Schema) -> dict:
             "anyOf": [to_json_schema_inner(a) for a in schema.alternatives]
         }
     raise TypeError(f"unknown schema node {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# Draft-4 import — the inverse direction (SURVEY §3 "also the reverse").
+# The reference does this in the type system; here it is a plain parser.
+# ---------------------------------------------------------------------------
+
+def from_json_schema(doc: dict) -> Schema:
+    """Parse a draft-4 document back into the schema AST.
+
+    Exact inverse of :func:`to_json_schema` up to constraint
+    normalization (the export already normalizes ``TLt n`` →
+    ``maxLength n-1`` etc., so importing yields the inclusive forms
+    ``TLe``/``TGe``; ``minLength == maxLength`` imports as ``TEq``,
+    ``minimum == maximum`` as ``NEq``, ``minItems == maxItems`` as
+    ``AEq``). ``export(parse(export(s))) == export(s)`` for every
+    schema — the round-trip property test pins it.
+    """
+    if "oneOf" in doc:
+        alts = doc["oneOf"]
+        if (
+            len(alts) == 2
+            and alts[0].get("type") == "null"
+        ):
+            return SOptional(from_json_schema(alts[1]))
+        return SUnion(tuple(from_json_schema(a) for a in alts))
+    if "anyOf" in doc:
+        return SUnion(tuple(from_json_schema(a) for a in doc["anyOf"]))
+    t = doc.get("type")
+    if t == "string":
+        cs: list = []
+        lo, hi = doc.get("minLength"), doc.get("maxLength")
+        if lo is not None and lo == hi:
+            cs.append(TEq(lo))
+        else:
+            if lo is not None:
+                cs.append(TGe(lo))
+            if hi is not None:
+                cs.append(TLe(hi))
+        if "pattern" in doc:
+            cs.append(TRegex(doc["pattern"]))
+        if "enum" in doc:
+            cs.append(TEnum(tuple(doc["enum"])))
+        return SText(tuple(cs))
+    if t in ("number", "integer"):
+        cs = []
+        lo, hi = doc.get("minimum"), doc.get("maximum")
+        xlo = bool(doc.get("exclusiveMinimum"))
+        xhi = bool(doc.get("exclusiveMaximum"))
+        if lo is not None and lo == hi and not xlo and not xhi:
+            cs.append(NEq(lo))
+        else:
+            if lo is not None:
+                cs.append(NGt(lo) if xlo else NGe(lo))
+            if hi is not None:
+                cs.append(NLt(hi) if xhi else NLe(hi))
+        return SNumber(tuple(cs))
+    if t == "boolean":
+        return SBoolean()
+    if t == "null":
+        return SNull()
+    if t == "object":
+        required = set(doc.get("required", ()))
+        fields = []
+        for name, sub in doc.get("properties", {}).items():
+            parsed = from_json_schema(sub)
+            if name not in required and not isinstance(parsed, SOptional):
+                parsed = SOptional(parsed)
+            fields.append((name, parsed))
+        return SObject(tuple(fields))
+    if t == "array":
+        cs = []
+        lo, hi = doc.get("minItems"), doc.get("maxItems")
+        if lo is not None and lo == hi:
+            cs.append(AEq(lo))
+        else:
+            if lo is not None:
+                cs.append(AGe(lo))
+            if hi is not None:
+                cs.append(ALe(hi))
+        item = doc.get("items")
+        return SArray(
+            from_json_schema(item) if item is not None else SText(),
+            tuple(cs),
+        )
+    raise ValueError(f"cannot import JSON-Schema node: {doc!r}")

@@ -2,8 +2,10 @@ from .json_ingest import MALFORMED, validate_json_strings  # noqa: F401
 from .checkpoint import (  # noqa: F401
     LINEAGE_TABLE,
     METRICS_TABLE,
+    VIOLATIONS_TABLE,
     CheckpointedRun,
     partition_passfail,
+    read_violations,
     run_validation_checkpointed,
     spec_fingerprint,
 )

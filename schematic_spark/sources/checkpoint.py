@@ -4,22 +4,39 @@ North rule: "resumable from Iceberg-snapshot checkpoints with
 per-partition lineage + metrics tables" (BASELINE.json:6,14).
 
 Model: a validation *run* processes a table in key-range partitions
-(``bucket = pmod(xxhash64(doc_id), n_buckets)``). Each completed bucket
-appends one lineage row; a resumed run skips buckets already marked
-complete for the same (input snapshot, spec fingerprint) — idempotent
-re-runs. Metrics rows carry the per-bucket verdict counts, so the
-per-partition pass/fail report is a free groupBy over the metrics
-table.
+(``bucket = pmod(xxhash64(doc_id), n_buckets)``). A run handles ALL
+pending buckets in a constant number of passes (NOT one scan per
+bucket — the round-1 design rescanned the input n_buckets times, which
+is thousands of full scans at 100 TB):
+
+  1. one scan writes the violation rows for every pending bucket
+     (bucket id is a column, so downstream pruning works);
+  2. one scan aggregates per-(bucket, verdict) metrics — a tiny
+     hash-agg result collected to the driver;
+  3. one lineage append marks the processed buckets complete.
+
+**Idempotency / atomicity** (commit protocol): every invocation gets a
+fresh ``attempt_id``; violations and metrics rows carry it, and the
+lineage "complete" row — written LAST — records which attempt produced
+the bucket. A crash between the appends leaves orphan rows from an
+uncommitted attempt; readers (:func:`read_violations`,
+:func:`partition_passfail`) join against the committed
+(bucket, attempt_id) pairs in lineage, so orphans are invisible and a
+resumed run can safely re-append without deduping storage. This is the
+same trick as Iceberg's snapshot commit: data files are inert until the
+metadata pointer lands.
 
 At 100 TB the bucket count is sized so each bucket is a few hundred GB
-(n_buckets ≈ thousands); bucket filtering pushes down to the scan when
-the table is clustered/bucketed by the same key.
+(n_buckets ≈ thousands); the pending-bucket filter pushes down to the
+scan when the table is clustered/bucketed by the same key, and the
+violations sink can be partitioned by bucket.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,10 +45,11 @@ from pyspark.sql import functions as F
 from .table_format import TableFormat
 from ..schema.ast import SObject
 from ..schema.parser import dump_spec
-from ..validation import validate
+from ..validation import VERDICT_COL, VIOLATIONS_COL, validate
 
 LINEAGE_TABLE = "_schematic_lineage"
 METRICS_TABLE = "_schematic_metrics"
+VIOLATIONS_TABLE = "_schematic_violations"
 
 
 def spec_fingerprint(schema: SObject) -> str:
@@ -49,11 +67,13 @@ class CheckpointedRun:
     spec_fp: str
     n_buckets: int
 
-    def completed_buckets(self, spark: SparkSession) -> set[int]:
+    def completed(self, spark: SparkSession) -> dict[int, str]:
+        """bucket → committed attempt_id (latest wins) for this
+        (input snapshot, spec fingerprint, n_buckets)."""
         try:
             lineage = self.fmt.read(spark, LINEAGE_TABLE)
         except Exception:
-            return set()
+            return {}
         rows = (
             lineage
             .where(
@@ -62,10 +82,13 @@ class CheckpointedRun:
                 & (F.col("n_buckets") == self.n_buckets)
                 & (F.col("status") == "complete")
             )
-            .select("bucket")
+            .select("bucket", "attempt_id")
             .collect()
         )
-        return {r["bucket"] for r in rows}
+        return {r["bucket"]: r["attempt_id"] for r in rows}
+
+    def completed_buckets(self, spark: SparkSession) -> set[int]:
+        return set(self.completed(spark))
 
 
 def run_validation_checkpointed(
@@ -78,78 +101,152 @@ def run_validation_checkpointed(
     n_buckets: int = 8,
     run_id: str = "run-0",
     input_snapshot: str = "unversioned",
-    violations_table: str = "_schematic_violations",
+    violations_table: str = VIOLATIONS_TABLE,
 ) -> dict:
-    """Validate bucket-by-bucket with resume.
+    """Validate all pending buckets with resume (see module docstring
+    for the pass structure and commit protocol).
 
     Already-complete buckets (same input snapshot + spec fingerprint)
-    are skipped; each completed bucket appends violations, one metrics
-    row, and one lineage row. Returns a summary dict with counts and
-    the buckets processed vs skipped.
+    are skipped. Returns a summary dict with counts and the buckets
+    processed vs skipped.
     """
     fp = spec_fingerprint(schema)
     run = CheckpointedRun(fmt, run_id, input_snapshot, fp, n_buckets)
     done = run.completed_buckets(spark)
-    bucket_col = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    pending = [b for b in range(n_buckets) if b not in done]
+    attempt_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
 
-    processed, skipped = [], []
-    totals = {"Valid": 0, "ValidationError": 0, "DecodingError": 0}
-    for b in range(n_buckets):
-        if b in done:
-            skipped.append(b)
-            continue
-        part = df.where(bucket_col == b)
-        res = validate(part, schema)
-        summary = {
-            r["verdict"]: (r["n_rows"], r["n_violations"])
-            for r in res.summary().collect()
-        }
-        viol = res.violations(key_col).withColumn("bucket", F.lit(b)) \
-                  .withColumn("run_id", F.lit(run_id))
-        fmt.write(viol, violations_table, mode="append")
-        metrics_rows = [
-            {
-                "run_id": run_id,
-                "input_snapshot": input_snapshot,
-                "spec_fp": fp,
-                "bucket": b,
-                "verdict": v,
-                "n_rows": int(n),
-                "n_violations": int(nv),
-            }
-            for v, (n, nv) in summary.items()
-        ]
-        if metrics_rows:
-            fmt.write(
-                spark.createDataFrame(metrics_rows), METRICS_TABLE,
-                mode="append",
-            )
-        lineage_row = spark.createDataFrame([{
+    if not pending:
+        return {
             "run_id": run_id,
+            "spec_fp": fp,
+            "attempt_id": attempt_id,
+            "processed_buckets": [],
+            "skipped_buckets": sorted(done),
+            "totals": {},
+        }
+
+    bucket_col = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)) \
+        .cast("int")
+    part = df.withColumn("_bucket", bucket_col)
+    if done:  # prune committed buckets in the scan filter
+        part = part.where(~F.col("_bucket").isin(*sorted(done)))
+    res = validate(part, schema)
+
+    run_cols = {
+        "run_id": F.lit(run_id),
+        "attempt_id": F.lit(attempt_id),
+        "input_snapshot": F.lit(input_snapshot),
+        "spec_fp": F.lit(fp),
+        "n_buckets": F.lit(n_buckets),
+    }
+
+    # pass 1: violations for every pending bucket — ONE append, one scan
+    viol = res.violations(key_col, "_bucket") \
+              .withColumnRenamed("_bucket", "bucket") \
+              .withColumns(run_cols)
+    fmt.write(viol, violations_table, mode="append")
+
+    # pass 2: per-(bucket, verdict) metrics — one hash-agg, tiny result
+    agg = (
+        res.annotated
+        .groupBy(F.col("_bucket").alias("bucket"),
+                 F.col(VERDICT_COL).alias("verdict"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+        )
+        .collect()
+    )
+    metrics_rows = [
+        {
+            "run_id": run_id,
+            "attempt_id": attempt_id,
+            "input_snapshot": input_snapshot,
+            "spec_fp": fp,
+            "n_buckets": n_buckets,
+            "bucket": int(r["bucket"]),
+            "verdict": r["verdict"],
+            "n_rows": int(r["n_rows"]),
+            "n_violations": int(r["n_violations"]),
+        }
+        for r in agg
+    ]
+    if metrics_rows:
+        fmt.write(
+            spark.createDataFrame(metrics_rows), METRICS_TABLE,
+            mode="append",
+        )
+
+    # pass 3 (commit point): lineage rows for ALL pending buckets —
+    # buckets with zero rows are complete too
+    rows_per_bucket: dict[int, int] = {}
+    totals: dict[str, int] = {}
+    for r in agg:
+        b = int(r["bucket"])
+        rows_per_bucket[b] = rows_per_bucket.get(b, 0) + int(r["n_rows"])
+        totals[r["verdict"]] = totals.get(r["verdict"], 0) + int(r["n_rows"])
+    lineage_rows = [
+        {
+            "run_id": run_id,
+            "attempt_id": attempt_id,
             "input_snapshot": input_snapshot,
             "spec_fp": fp,
             "n_buckets": n_buckets,
             "bucket": b,
             "status": "complete",
-            "n_rows": int(sum(n for n, _ in summary.values())),
-        }])
-        fmt.write(lineage_row, LINEAGE_TABLE, mode="append")
-        for v, (n, _) in summary.items():
-            totals[v] = totals.get(v, 0) + int(n)
-        processed.append(b)
+            "n_rows": rows_per_bucket.get(b, 0),
+        }
+        for b in pending
+    ]
+    fmt.write(spark.createDataFrame(lineage_rows), LINEAGE_TABLE,
+              mode="append")
 
     return {
         "run_id": run_id,
         "spec_fp": fp,
-        "processed_buckets": processed,
-        "skipped_buckets": skipped,
+        "attempt_id": attempt_id,
+        "processed_buckets": pending,
+        "skipped_buckets": sorted(done),
         "totals": totals,
     }
 
 
+def _committed_pairs(spark: SparkSession, fmt: TableFormat) -> DataFrame:
+    """(input_snapshot, spec_fp, n_buckets, bucket, attempt_id) pairs
+    marked complete in lineage — the commit metadata readers join on."""
+    lineage = fmt.read(spark, LINEAGE_TABLE)
+    return (
+        lineage.where(F.col("status") == "complete")
+        .select("input_snapshot", "spec_fp", "n_buckets", "bucket",
+                "attempt_id")
+        .dropDuplicates()
+    )
+
+
+def read_violations(
+    spark: SparkSession,
+    fmt: TableFormat,
+    violations_table: str = VIOLATIONS_TABLE,
+) -> DataFrame:
+    """Violation rows from COMMITTED attempts only — orphan rows from
+    crashed attempts (appended but never marked complete in lineage)
+    are filtered out by a broadcast semi-join on the commit metadata."""
+    viol = fmt.read(spark, violations_table)
+    keys = ["input_snapshot", "spec_fp", "n_buckets", "bucket",
+            "attempt_id"]
+    return viol.join(
+        F.broadcast(_committed_pairs(spark, fmt)), keys, "left_semi"
+    )
+
+
 def partition_passfail(spark: SparkSession, fmt: TableFormat) -> DataFrame:
-    """Per-partition pass/fail from the metrics table (no rescan)."""
+    """Per-partition pass/fail from the metrics table (no rescan);
+    committed attempts only."""
     m = fmt.read(spark, METRICS_TABLE)
+    keys = ["input_snapshot", "spec_fp", "n_buckets", "bucket",
+            "attempt_id"]
+    m = m.join(F.broadcast(_committed_pairs(spark, fmt)), keys, "left_semi")
     return (
         m.groupBy("run_id", "input_snapshot", "spec_fp", "bucket")
         .agg(

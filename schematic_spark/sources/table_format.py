@@ -61,7 +61,6 @@ class IcebergFormat(TableFormat):
         return reader.load(table)
 
     def write(self, df, table, mode="overwrite") -> str:
-        df.writeTo(table).using("iceberg")
         if mode == "overwrite":
             df.writeTo(table).using("iceberg").createOrReplace()
         else:

@@ -124,11 +124,19 @@ class ValidationResult:
         )
 
 
-def compile_verdict_columns(schema: SObject) -> dict[str, Column]:
+def compile_verdict_columns(
+    schema: SObject, row: Column | None = None
+) -> dict[str, Column]:
     """The whole validation walk as four Columns over a row struct.
     Exposed separately so callers can embed validation into larger
-    plans (e.g. streaming, migration dispatch) without re-validating."""
-    row = F.struct(*[F.col(name).alias(name) for name in schema.field_names()])
+    plans (e.g. streaming, migration dispatch, versioned raw-JSON
+    parse) without re-validating. ``row`` defaults to a struct of the
+    frame's top-level columns; pass any struct column (e.g. a
+    ``from_json`` result) to validate nested documents."""
+    if row is None:
+        row = F.struct(
+            *[F.col(name).alias(name) for name in schema.field_names()]
+        )
     empty_path = F.lit("")
     structural = compile_structural(schema, row, empty_path)
     violations = compile_violations(schema, row, empty_path)

@@ -228,3 +228,93 @@ class TestMedia:
         media = synthetic_media(spark, 5)
         with pytest.raises(Exception, match="codec"):
             extract_features(media, strict=True).collect()
+
+
+class TestSimhashRound2:
+    def test_vectorized_signatures_pinned(self):
+        """Batch-vectorized FNV simhash pinned against independently
+        computed majority-vote signatures (also guards the uint64
+        vote-wraparound bug: votes must be signed)."""
+        import pandas as pd
+
+        from schematic_spark.functions.dedup import _simhash64_impl
+
+        got = _simhash64_impl(pd.Series([
+            "hello world foo", "The quick brown fox jumps", "x",
+            "", None, "  ",
+        ])).tolist()
+        assert got == [
+            -3733205506852348557, -3822824787099128354,
+            -5808529385363204345, 0, 0, 0,
+        ]
+
+    def test_catalyst_simhash_matches_duckdb(self, spark):
+        """The md5-based Catalyst signature is reproducible in DuckDB —
+        the property the simhash oracle depends on."""
+        import duckdb
+
+        from schematic_spark.functions.dedup import simhash_catalyst
+
+        texts = [
+            ("d0", "the quick brown fox"),
+            ("d1", "the quick brown fox jumps"),
+            ("d2", "unrelated words entirely here"),
+            ("d3", "The  Quick   Brown fox"),  # case/space-insensitive twin
+        ]
+        df = spark.createDataFrame(texts, "doc_id string, text string")
+        got = {
+            r["doc_id"]: r["sig"]
+            for r in df.select(
+                "doc_id", simhash_catalyst("text").alias("sig")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                    + ",".join(f"('{k}', '{v}')" for k, v in texts)
+                    + ") AS t(doc_id, text)")
+        rows = con.execute("""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> x <> '')) AS tok
+              FROM t),
+            th AS (
+              SELECT doc_id, list_sum([
+                  (CAST(strpos('0123456789abcdef',
+                               substring(md5(tok), i, 1)) - 1 AS BIGINT)
+                   << ((15 - i) * 4))
+                  for i in generate_series(1, 15)]) AS h
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h & (CAST(1 AS BIGINT) << b)) <> 0
+                         THEN 1 ELSE 0 END) AS ones,
+                     count(*) AS n
+              FROM th, (SELECT unnest(generate_series(0, 59)) AS b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN 2 * ones > n
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS sig
+            FROM bits GROUP BY doc_id
+        """).fetchall()
+        want = dict(rows)
+        assert got == want
+        assert got["d0"] == got["d3"]  # normalization twin
+        assert got["d0"] != got["d2"]
+
+    def test_catalyst_near_dups(self, spark):
+        from schematic_spark.functions.dedup import simhash_near_duplicates
+
+        df = spark.createDataFrame(
+            [("a", "alpha beta gamma delta epsilon zeta"),
+             ("b", "alpha beta gamma delta epsilon zeta"),  # identical
+             ("c", "totally different content over here now")],
+            "doc_id string, text string",
+        )
+        pairs = simhash_near_duplicates(
+            df, "text", "doc_id", max_hamming=1, catalyst=True
+        ).collect()
+        assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [
+            ("a", "b", 0)
+        ]

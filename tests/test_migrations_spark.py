@@ -174,3 +174,154 @@ class TestCheckpointResume:
         snaps = fmt.snapshots(spark, "t")
         assert [s["snapshot_id"] for s in snaps] == [s1, s2]
         assert snaps[1]["parent_id"] == s1
+
+
+class TestVersionedJsonStrings:
+    """decodeAndValidateVersionedWithMList over raw JSON strings
+    (Data/Schematic.hs:87-103) — the reference's entry point #2."""
+
+    def test_dispatch_and_upgrade(self, spark):
+        migs = [Migration(
+            "add_quux", (Diff((), AddKey("quux", SNumber((NGt(10),)))),)
+        )]
+        spec = VersionedSpec(
+            base=BASE,
+            migrations=migs,
+            upgrades={"add_quux": add_column_upgrade("quux", 42.0)},
+        )
+        from schematic_spark.migrations import validate_versioned_json_strings
+
+        rows = [
+            ("top", '{"foo":[13],"bar":"foo","quux":20}'),
+            ("old", '{"foo":[13],"bar":"bar"}'),           # top: no quux
+            ("bad", '{"foo":[3],"bar":"foo","quux":20}'),  # invalid everywhere
+            ("mal", '{"foo":'),                            # malformed json
+        ]
+        df = spark.createDataFrame(rows, "k string, raw string")
+        upgraded, rejected = validate_versioned_json_strings(df, "raw", spec)
+        up = {r["k"]: r for r in upgraded.collect()}
+        assert set(up) == {"top", "old"}
+        assert up["top"]["quux"] == 20.0    # untouched
+        assert up["old"]["quux"] == 42.0    # migrated default
+        rej = {r["k"]: r["_verdict"] for r in rejected.collect()}
+        assert rej == {"bad": "ValidationError", "mal": "DecodingError"}
+
+    def test_type_changing_update_skips_revision(self, spark):
+        # v2 rewrites bar to a number; the initial revision's enum
+        # constraint cannot even analyze against a double column — the
+        # revision must be conformance-skipped, not crash the dispatch
+        migs = [Migration(
+            "bar_to_num", (Diff(("bar",), Update(SNumber((NGt(0),)))),)
+        )]
+        spec = VersionedSpec(
+            base=BASE, migrations=migs,
+            upgrades={"bar_to_num": lambda d: d.withColumn(
+                "bar", F.lit(1.0))},
+        )
+        df = spark.createDataFrame(
+            [([13.0], 5.0), ([13.0], -1.0)],
+            "foo array<double>, bar double",
+        )
+        upgraded, rejected = validate_versioned(df, spec, persist=False)
+        assert upgraded.count() == 1      # bar=5 valid at top
+        assert rejected.count() == 1      # bar=-1: top invalid, initial skipped
+
+
+class TestNestedUpgrades:
+    def test_update_field_below_top_level(self, spark):
+        from schematic_spark.migrations import (
+            add_field_upgrade,
+            drop_field_upgrade,
+            update_field_upgrade,
+        )
+        from schematic_spark.schema import NGe
+        from schematic_spark.validation import validate
+
+        df = spark.createDataFrame(
+            [("d1", [{"kind": "text", "offset": 1},
+                     {"kind": "media", "offset": 5}])],
+            "doc_id string, spans array<struct<kind string, offset int>>",
+        )
+        up = update_field_upgrade(
+            "spans", (TRAVERSE, "offset"), lambda old: old + 10
+        )
+        out = up(df).collect()[0]
+        assert [s["offset"] for s in out["spans"]] == [11, 15]
+
+        added = add_field_upgrade("spans", (TRAVERSE,), "lang", "en")(df)
+        assert all(
+            s["lang"] == "en" for s in added.collect()[0]["spans"]
+        )
+        dropped = drop_field_upgrade("spans", (TRAVERSE,), "kind")(df)
+        assert "kind" not in dropped.schema["spans"].dataType.elementType.names
+
+        # migrated frame re-validates under the migrated spec
+        spec = SObject((
+            ("doc_id", SText()),
+            ("spans", SArray(SObject((
+                ("kind", SText()),
+                ("offset", SNumber((NGe(10),))),
+            )))),
+        ))
+        res = validate(up(df), spec)
+        assert res.annotated.collect()[0]["_verdict"] == "Valid"
+
+
+class TestCheckpointOnePass:
+    def test_single_scan_and_orphan_filtering(self, spark, tmp_path):
+        from schematic_spark.sources import (
+            LINEAGE_TABLE,
+            VIOLATIONS_TABLE,
+            read_violations,
+        )
+        from schematic_spark.sources.checkpoint import spec_fingerprint
+        from schematic_spark.validation import validate
+
+        fmt = ParquetDirFormat(root=str(tmp_path / "tables"))
+        src = str(tmp_path / "input.parquet")
+        spark.createDataFrame(
+            [(f"d{i}", [13.0] if i % 10 else [3.0]) for i in range(100)],
+            "doc_id string, foo array<double>",
+        ).write.parquet(src)
+        df = spark.read.parquet(src)
+        schema = SObject((
+            ("doc_id", SText()),
+            ("foo", SArray(SNumber((NGt(10),)), (AEq(1),))),
+        ))
+
+        # the violations frame (the big write) must scan the input ONCE —
+        # the whole point of the one-pass rewrite
+        part = df.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)).cast("int"),
+        )
+        viol = validate(part, schema).violations("doc_id", "_bucket")
+        plan = viol._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+
+        r1 = run_validation_checkpointed(
+            spark, df, schema, fmt, n_buckets=4, run_id="r1",
+            input_snapshot="snapA",
+        )
+        assert sorted(r1["processed_buckets"]) == [0, 1, 2, 3]
+        assert r1["totals"]["ValidationError"] == 10
+
+        # simulate a CRASHED attempt: violations appended, lineage never
+        # written — readers must not see the orphan rows
+        orphan = fmt.read(spark, VIOLATIONS_TABLE).limit(3) \
+            .withColumn("attempt_id", F.lit("crashed-attempt"))
+        fmt.write(orphan, VIOLATIONS_TABLE, mode="append")
+        committed = read_violations(spark, fmt)
+        assert committed.where(
+            F.col("attempt_id") == "crashed-attempt"
+        ).count() == 0
+        assert committed.count() == 10  # exactly the r1 violations
+
+        # resume is a no-op on the same snapshot+spec
+        r2 = run_validation_checkpointed(
+            spark, df, schema, fmt, n_buckets=4, run_id="r2",
+            input_snapshot="snapA",
+        )
+        assert r2["processed_buckets"] == []
+        # re-run after the "crash" didn't duplicate committed rows
+        assert read_violations(spark, fmt).count() == 10

@@ -13,6 +13,7 @@ from schematic_spark.schema import (
     ALe,
     ALt,
     NEq,
+    NGe,
     NGt,
     NLe,
     NLt,
@@ -26,7 +27,9 @@ from schematic_spark.schema import (
     SUnion,
     TEnum,
     TEq,
+    TGe,
     TGt,
+    TLe,
     TLt,
     TRegex,
     UnsatisfiableSchema,
@@ -365,3 +368,67 @@ class TestJsonSchemaExport:
         assert js["maxLength"] == 0
         js = to_json_schema_inner(SArray(SNumber(), (ALt(0),)))
         assert js["maxItems"] == 0
+
+
+class TestJsonSchemaImport:
+    """Draft-4 import (the reverse of export) — round-trip property:
+    export(parse(export(s))) == export(s) for every generated schema."""
+
+    def test_roundtrip_wire_idempotent(self):
+        import itertools
+
+        from schematic_spark.schema.jsonschema import (
+            from_json_schema,
+            to_json_schema,
+            to_json_schema_inner,
+        )
+
+        leaves = [
+            SText(),
+            SText((TEq(5),)),
+            SText((TGt(2), TLe(9))),
+            SText((TRegex("[a-z]+"), TEnum(("a", "b")))),
+            SNumber((NEq(7),)),
+            SNumber((NGt(0), NLe(100))),
+            SNumber((NGe(1), NLt(10))),
+            SBoolean(),
+            SNull(),
+        ]
+        composites = [
+            SArray(leaf, cs)
+            for leaf, cs in itertools.product(
+                leaves[:4], [(), (AEq(3),), (AGe(1), ALe(8)), (AGt(0),)]
+            )
+        ] + [
+            SObject((("a", leaves[1]), ("b", SOptional(leaves[4])))),
+            SUnion((leaves[0], leaves[4])),
+            SOptional(SArray(SObject((("x", SText()),)))),
+            SObject((("deep", SArray(SObject((
+                ("kind", SText((TEnum(("text", "media")),))),
+                ("offset", SNumber((NGe(0),))),
+            )))),)),
+        ]
+        for s in leaves + composites:
+            wire = to_json_schema_inner(s)
+            back = from_json_schema(wire)
+            assert to_json_schema_inner(back) == wire, s
+        # with the $schema marker too
+        full = to_json_schema(composites[-1])
+        parsed = from_json_schema(
+            {k: v for k, v in full.items() if k != "$schema"}
+        )
+        assert to_json_schema(parsed) == full
+
+    def test_exact_inverse_on_canonical_forms(self):
+        from schematic_spark.schema.jsonschema import (
+            from_json_schema,
+            to_json_schema_inner,
+        )
+
+        s = SObject((
+            ("name", SText((TEq(4),))),
+            ("n", SNumber((NEq(3),))),
+            ("tags", SArray(SText(), (AEq(2),))),
+            ("opt", SOptional(SBoolean())),
+        ))
+        assert from_json_schema(to_json_schema_inner(s)) == s
