@@ -255,6 +255,130 @@ def _q_exact_dup_groups_documents(spark, sf_dir):
     )
 
 
+# --- round-2 additions: drift stats, scoring, versioned dispatch,
+# --- embedding pair search — all oracle-backed ------------------------------
+
+def _q_ks_drift_events(spark, sf_dir):
+    """Two-sample KS drift between even/odd event_id halves of the same
+    table (deterministic split): the distributed half is two bucketed
+    hash-aggs, the statistic is driver-side; the oracle recomputes
+    D = max|ECDF1-ECDF2| with SQL window functions."""
+    from schematic_spark.suite import ks_drift
+
+    ev = _read(spark, sf_dir, "events")
+    rep = ks_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value", lo=0.0, hi=500.0, n_buckets=20,
+    )
+    return spark.createDataFrame(
+        [(round(rep.statistic, 9),
+          rep.detail["n_current"], rep.detail["n_baseline"])],
+        "ks_stat double, n_current long, n_baseline long",
+    )
+
+
+def _q_chi2_drift_event_types(spark, sf_dir):
+    """Categorical chi-square drift (event_type, even vs odd halves) —
+    Haldane 0.5 pseudo-count for unseen categories, mirrored in SQL."""
+    from schematic_spark.suite import chi2_drift
+
+    ev = _read(spark, sf_dir, "events")
+    rep = chi2_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+    return spark.createDataFrame(
+        [(round(rep.statistic, 6), rep.detail["dof"],
+          rep.detail["n_categories"])],
+        "chi2_stat double, dof int, n_categories int",
+    )
+
+
+def _q_quality_score_documents(spark, sf_dir):
+    from schematic_spark.functions import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("q_score"))
+
+
+def _q_versioned_dispatch_documents(spark, sf_dir):
+    """Newest-first versioned dispatch (parseAndValidateWithMList) over
+    documents: base spec has text only; the top revision adds a lang
+    enum; rows failing at top but valid at base are upgraded with
+    lang='en'. Output: upgraded lang histogram + rejected count."""
+    from schematic_spark.migrations import (
+        AddKey, Diff, Migration, VersionedSpec, add_column_upgrade,
+        validate_versioned,
+    )
+    from schematic_spark.schema import SObject, SText, TEnum, TGe
+
+    base = SObject((("text", SText((TGe(1),))),))
+    migs = [Migration(
+        "add_lang", (Diff((), AddKey("lang", SText((TEnum(_DOC_LANGS),)))),)
+    )]
+    spec = VersionedSpec(
+        base=base, migrations=migs,
+        upgrades={"add_lang": add_column_upgrade("lang", "en")},
+    )
+    docs = _read(spark, sf_dir, "documents")
+    upgraded, rejected = validate_versioned(docs, spec, persist=False)
+    n_rej = rejected.count()
+    return (
+        upgraded.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_rejected", F.lit(n_rej))
+    )
+
+
+def _q_top_docs_per_lang(spark, sf_dir):
+    """Window-function coverage: top-2 documents by n_chars per lang
+    (row_number over a partition, deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )
+
+
+def _q_embedding_near_pairs_by_label(spark, sf_dir):
+    """Exact cosine pair search blocked on the label column (the
+    blocking key bounds the join to within-class pairs — the
+    brute-force baseline of the near-dup family; LSH/IVF variants are
+    the probabilistic scale path, unit-tested separately)."""
+    from schematic_spark.functions.dedup import _dot, _norm
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # norms are per-ROW, so compute them once before the pair join
+    # (inside the join each would be re-evaluated per PAIR — 100× the
+    # work at 100-vector blocks, worse at scale)
+    emb = emb.withColumn("nrm", _norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / F.greatest(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("_c"),
+        )
+        .where(F.col("_c") >= 0.4)
+        .select("id_a", "id_b", F.round(F.col("_c"), 5).alias("cosine"))
+    )
+
+
 # --- formerly rows-only; all five now carry DuckDB oracles -----------------
 
 #: parquet dump of the deterministic generated table, shared with the
@@ -383,6 +507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _q_cosine_topk_embeddings,
         "events_value_histogram": _q_events_value_histogram,
         "exact_dup_groups_documents": _q_exact_dup_groups_documents,
+        "ks_drift_events": _q_ks_drift_events,
+        "chi2_drift_event_types": _q_chi2_drift_event_types,
+        "quality_score_documents": _q_quality_score_documents,
+        "versioned_dispatch_documents": _q_versioned_dispatch_documents,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "embedding_near_pairs_by_label": _q_embedding_near_pairs_by_label,
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "validate_interleaved": _q_validate_interleaved,
         "interleaved_suite": _q_interleaved_suite,
@@ -638,6 +768,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    substring(norm, 1, 40) AS norm_prefix
             FROM n GROUP BY norm HAVING count(*) > 1
+        """,
+        # KS: same bucketing (floor(value/25) clamped to [0,19]), ECDFs
+        # via window cumsums, D = max abs difference
+        "ks_drift_events": """
+            WITH b AS (
+              SELECT least(greatest(CAST(floor(value / 25.0) AS INT), 0),
+                           19) AS bucket,
+                     sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS n1,
+                     sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS n2
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            c AS (
+              SELECT sum(n1) OVER (ORDER BY bucket) AS c1,
+                     sum(n2) OVER (ORDER BY bucket) AS c2
+              FROM b),
+            t AS (SELECT CAST(sum(n1) AS DOUBLE) AS t1,
+                         CAST(sum(n2) AS DOUBLE) AS t2,
+                         CAST(sum(n1) AS BIGINT) AS n_current,
+                         CAST(sum(n2) AS BIGINT) AS n_baseline
+                  FROM b)
+            SELECT round(max(abs(c1 / t1 - c2 / t2)), 9) AS ks_stat,
+                   any_value(n_current) AS n_current,
+                   any_value(n_baseline) AS n_baseline
+            FROM c, t
+        """,
+        # chi2 with Haldane 0.5 pseudo-count for categories absent from
+        # the baseline half (chi_square_from_counts, suite/drift.py)
+        "chi2_drift_event_types": """
+            WITH t AS (
+              SELECT coalesce(event_type, '__null__') AS cat,
+                     sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS o,
+                     sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS b
+              FROM events GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS DOUBLE) AS no,
+                           CAST(sum(b) AS DOUBLE) AS nb FROM t)
+            SELECT round(sum(pow(o - greatest(b, 0.5) / nb * no, 2)
+                             / (greatest(b, 0.5) / nb * no)), 6)
+                     AS chi2_stat,
+                   CAST(greatest(count(*) - 1, 1) AS INT) AS dof,
+                   CAST(count(*) AS INT) AS n_categories
+            FROM t, tot
+        """,
+        "quality_score_documents": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                     len(regexp_extract_all(text,
+                       '(?i)\b(the|of|and|to|in|a|is|that|it|for|was|on|are|with|as|be|this|at|by)\b'))
+                       AS n_stop,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                   '\s+')) END AS n_tokens
+              FROM documents)
+            SELECT doc_id, round(
+                least(n_tokens / 20.0, 1.0) * 0.2
+              + (n_alpha / safe) * 0.3
+              + (1.0 - least(n_punct / safe * 4, 1.0)) * 0.2
+              + (1.0 - least(n_digit / safe * 4, 1.0)) * 0.15
+              + least(n_stop / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+                      * 3, 1.0) * 0.15, 6) AS q_score
+            FROM q
+        """,
+        "versioned_dispatch_documents": """
+            WITH c AS (
+              SELECT text, lang,
+                     (text IS NOT NULL AND length(text) >= 1) AS ok_text,
+                     (lang IS NOT NULL AND lang IN
+                      ('en','de','fr','es')) AS ok_lang
+              FROM documents),
+            u AS (
+              SELECT CASE WHEN ok_lang THEN lang ELSE 'en' END AS lang
+              FROM c WHERE ok_text),
+            r AS (SELECT CAST(count(*) AS BIGINT) AS n_rejected
+                  FROM c WHERE NOT ok_text)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   (SELECT n_rejected FROM r) AS n_rejected
+            FROM u GROUP BY lang
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 2
+        """,
+        # same formula op-for-op (list_dot_product + greatest-guard), not
+        # list_cosine_similarity, to avoid last-ulp threshold flips
+        "embedding_near_pairs_by_label": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / greatest(sqrt(list_dot_product(a.v, a.v))
+                                    * sqrt(list_dot_product(b.v, b.v)),
+                                    1e-12), 5) AS cosine
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / greatest(sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v)),
+                             1e-12) >= 0.4
         """,
         # exact all-pairs n-gram Jaccard — certifies the LSH pipeline's
         # recall as well as the verify stage's arithmetic
