@@ -141,11 +141,14 @@ def run_validation_checkpointed(
         "n_buckets": F.lit(n_buckets),
     }
 
-    # pass 1: violations for every pending bucket — ONE append, one scan
+    # pass 1: violations for every pending bucket — ONE append, one
+    # scan, bucket-partitioned files so bucket filters prune at the
+    # storage level
     viol = res.violations(key_col, "_bucket") \
               .withColumnRenamed("_bucket", "bucket") \
               .withColumns(run_cols)
-    fmt.write(viol, violations_table, mode="append")
+    fmt.write(viol, violations_table, mode="append",
+              partition_by=["bucket"])
 
     # pass 2: per-(bucket, verdict) metrics — one hash-agg, tiny result
     agg = (

@@ -36,12 +36,18 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class TableFormat:
-    """Interface: read/write/append + snapshot listing + time travel."""
+    """Interface: read/write/append + snapshot listing + time travel.
+
+    ``partition_by`` requests storage-level partitioning on the named
+    columns (hive-style dirs for parquet, identity partitioning for
+    Iceberg) so downstream filters on those columns prune at the FILE
+    level — e.g. the checkpoint layer partitions violations by bucket.
+    """
 
     def read(self, spark, table, snapshot_id=None) -> DataFrame:
         raise NotImplementedError
 
-    def write(self, df, table, mode="overwrite") -> str:
+    def write(self, df, table, mode="overwrite", partition_by=None) -> str:
         raise NotImplementedError
 
     def snapshots(self, spark, table) -> list[dict]:
@@ -60,9 +66,16 @@ class IcebergFormat(TableFormat):
             reader = reader.option("snapshot-id", snapshot_id)
         return reader.load(table)
 
-    def write(self, df, table, mode="overwrite") -> str:
+    def write(self, df, table, mode="overwrite", partition_by=None) -> str:
         if mode == "overwrite":
-            df.writeTo(table).using("iceberg").createOrReplace()
+            writer = df.writeTo(table).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(
+                    *[F.col(c) for c in partition_by]
+                )
+            writer.createOrReplace()
         else:
             df.writeTo(table).append()
         snaps = self.snapshots(df.sparkSession, table)
@@ -127,14 +140,29 @@ class ParquetDirFormat(TableFormat):
             os.path.join(self._table_dir(table), d)
             for d in entry["dirs"]
         ]
-        return spark.read.parquet(*paths)
+        if len(paths) == 1:
+            return spark.read.parquet(paths[0])
+        # multiple snapshot roots: Spark refuses to merge several
+        # hive-partitioned roots in one call (CONFLICTING_DIRECTORY_
+        # STRUCTURES) — read each root and union (schemas may differ by
+        # layout: partition columns land at the end)
+        out = None
+        for p in paths:
+            d = spark.read.parquet(p)
+            out = d if out is None else out.unionByName(
+                d, allowMissingColumns=True
+            )
+        return out
 
-    def write(self, df, table, mode="overwrite") -> str:
+    def write(self, df, table, mode="overwrite", partition_by=None) -> str:
         manifest = self._load_manifest(table)
         snap_seq = len(manifest)
         snap_id = f"{snap_seq:06d}-{uuid.uuid5(uuid.NAMESPACE_URL, table + str(snap_seq)).hex[:12]}"
         snap_dir = f"snap-{snap_id}"
-        df.write.mode("overwrite").parquet(
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(
             os.path.join(self._table_dir(table), snap_dir)
         )
         if mode == "append" and manifest:
@@ -148,6 +176,7 @@ class ParquetDirFormat(TableFormat):
             "parent_id": parent,
             "mode": mode,
             "dirs": dirs,
+            "partition_by": list(partition_by) if partition_by else [],
         })
         self._store_manifest(table, manifest)
         return snap_id

@@ -1,4 +1,6 @@
 from .validate_stream import (  # noqa: F401
+    dedup_stream,
+    running_verdict_totals,
     streaming_violations,
     validate_stream,
     windowed_verdict_counts,

@@ -97,3 +97,57 @@ def windowed_verdict_counts(
             F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
         )
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup bounded by event time:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state size is O(keys-per-watermark-window), not
+    O(all keys ever) — the only formulation that survives an unbounded
+    stream."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+def running_verdict_totals(annotated: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): cumulative
+    (n_rows, n_bad) per key across the whole stream, re-emitted whenever
+    a batch touches the key. State is two longs per key.
+
+    The engine analog of keeping a running ErrorMap per partition key —
+    something the stateless verdict projection can't express."""
+    import pandas as pd  # noqa: F811 — module scope needed by pandas_udf paths
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n_rows, n_bad = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            n_bad += int((pdf["verdict"] != "Valid").sum())
+        state.update((n_rows, n_bad))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_rows": [n_rows], "n_bad": [n_bad]}
+        )
+
+    return (
+        annotated.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(VERDICT_COL).alias("verdict"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="key string, n_rows long, n_bad long",
+            stateStructType="n_rows long, n_bad long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -74,3 +74,57 @@ class TestPlanShape:
         plan = _plan(q)
         assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan \
             or "EqualTo(lang,en)" in plan, plan
+
+
+class TestPlanShapeRound2:
+    def test_catalyst_simhash_signature_is_shuffle_free(self, spark):
+        from schematic_spark.functions.dedup import simhash_catalyst
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sig = docs.select("doc_id", simhash_catalyst("text").alias("sig"))
+        plan = _plan(sig)
+        assert "Exchange" not in plan, plan
+        # no python UDF anywhere — the whole signature is JVM-side
+        assert "Python" not in plan, plan
+
+    def test_union_validation_is_shuffle_free(self, spark):
+        from pyspark.sql.types import (
+            DoubleType, StringType, StructField, StructType,
+        )
+
+        from schematic_spark.schema import SNumber, SObject, SText, SUnion
+
+        st = StructType([
+            StructField("doc_id", StringType()),
+            StructField("u", StructType([
+                StructField("alt_0", StringType()),
+                StructField("alt_1", DoubleType()),
+            ])),
+        ])
+        df = spark.createDataFrame(
+            [("a", {"alt_0": "x", "alt_1": None})], st
+        )
+        spec = SObject((
+            ("doc_id", SText()),
+            ("u", SUnion((SText(), SNumber()), validate_branches=True)),
+        ))
+        res = validate(df, spec)
+        plan = _plan(res.annotated)
+        assert "Exchange" not in plan, plan
+
+    def test_embedding_pair_join_hoists_norms(self, spark):
+        """The per-row norm must be computed below the join (once per
+        vector), not inside the join condition/projection (once per
+        pair)."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["embedding_near_pairs_by_label"](
+            spark, SF_DIR
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        join_pos = plan.find("Join")
+        assert join_pos != -1, plan
+        # 'nrm' is projected in the subtrees BELOW the join node (plan
+        # strings print parents first, children after)
+        below = plan[join_pos:]
+        assert "nrm" in below, plan

@@ -145,3 +145,72 @@ class TestSerialize:
         df = spark.createDataFrame([(1.0, None)], "x double, bar string")
         out = serialize_rows(df, schema).first()["json"]
         assert out == '{"x":1.0,"bar":null}'
+
+
+class TestStreamingRound2:
+    def test_dedup_stream_drops_in_window_duplicates(self, spark, tmp_path):
+        from schematic_spark.streaming import dedup_stream
+
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "500").load()
+        )
+        # every key appears twice within the same second → dedup halves it
+        shaped = stream.select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") / 2).cast("long").alias("k"),
+        )
+        deduped = dedup_stream(shaped, ["k"], "ts", watermark="1 minute")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream_out")
+            .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(
+            "SELECT k, count(*) AS n FROM dedup_stream_out GROUP BY k"
+        ).collect()
+        if out:  # rate+availableNow may emit nothing on a slow host
+            assert all(r["n"] == 1 for r in out)
+
+    def test_running_verdict_totals_stateful(self, spark, tmp_path):
+        from schematic_spark.streaming import (
+            running_verdict_totals,
+            validate_stream,
+        )
+
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "500").load()
+        )
+        shaped = stream.select(
+            F.when(F.col("value") % 2 == 0, "even").otherwise("odd")
+            .alias("kind2"),
+            F.when(F.col("value") % 3 == 0, "a").otherwise("zzz")
+            .alias("kind"),
+            F.lit(1.0).alias("value"),
+        )
+        annotated = validate_stream(shaped, SPEC)
+        totals = running_verdict_totals(annotated, "kind2")
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_tot"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT key, max(n_rows) AS n_rows, max(n_bad) AS n_bad "
+            "FROM running_totals GROUP BY key"
+        ).collect()
+        if rows:
+            got = {r["key"]: (r["n_rows"], r["n_bad"]) for r in rows}
+            # kind='zzz' (2 of 3 values) violates the enum → n_bad > 0,
+            # and bad rows never exceed total rows
+            for k, (n, b) in got.items():
+                assert 0 <= b <= n
+            assert sum(b for _, b in got.values()) > 0
