@@ -94,13 +94,20 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 def minhash_signature(
     shingle_col: Column, num_hashes: int = 32, seed: int = 42
 ) -> Column:
-    """array<bigint> of ``num_hashes`` min-hashes — one array_min over a
-    transform per hash function, all JVM-side."""
+    """array<bigint> of ``num_hashes`` min-hashes, all JVM-side.
+
+    Cost shape: each variable-length shingle STRING is hashed exactly
+    once (``xxhash64(s)``); the ``num_hashes`` permutations then hash
+    the resulting fixed 8-byte long (+ per-function seed), so per-doc
+    work is O(shingle_bytes + num_hashes × shingles × const) instead of
+    O(num_hashes × shingle_bytes). The caller must materialize the
+    string→long hash array as a COLUMN before fanning out (CSE does not
+    dedupe across HOF lambdas — see minhash_lsh_candidates)."""
     return F.array(*[
         F.array_min(
             F.transform(
                 shingle_col,
-                lambda s: F.xxhash64(s, F.lit(seed * 1000 + i)),
+                lambda h: F.xxhash64(h, F.lit(seed * 1000 + i)),
             )
         )
         for i in range(num_hashes)
@@ -155,9 +162,15 @@ def minhash_lsh_candidates(
     with_sh = df.select(
         F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
     )
-    with_sig = with_sh.select(
+    # hash each shingle string ONCE; the 32 permutations run over the
+    # resulting longs (8 bytes each), not the strings
+    with_hs = with_sh.select(
         F.col(id_col),
-        minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"),
+    )
+    with_sig = with_hs.select(
+        F.col(id_col),
+        minhash_signature(F.col("_hs"), num_hashes, seed).alias("_sig"),
     )
     band_rows = with_sig.select(
         id_col,
