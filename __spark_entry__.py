@@ -331,6 +331,63 @@ def _q_versioned_dispatch_documents(spark, sf_dir):
     )
 
 
+def _q_events_value_percentiles(spark, sf_dir):
+    """Per-type exact percentiles (sort-based ``percentile``, linear
+    interpolation — same definition as DuckDB quantile_cont, so it
+    oracles exactly). At 100 TB use ``percentile_approx`` (GK sketch,
+    one pass, mergeable) — approximate by construction, so the exact
+    form is what the correctness gate pins."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def _q_heavy_clickers_not_viewers(spark, sf_dir):
+    """Set-op coverage (EXCEPT DISTINCT via subtract): users with >=15
+    click events but NOT >=15 view events — two hash-aggs + one
+    distinct-subtract on the key."""
+    ev = _read(spark, sf_dir, "events")
+
+    def heavy(kind):
+        return (
+            ev.where(F.col("event_type") == kind)
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 15).select("user_id")
+        )
+
+    return heavy("click").subtract(heavy("view"))
+
+
+def _q_span_offset_totals(spark, sf_dir):
+    """Accessor-layer coverage: nested-path projection
+    (get_at_path over spans[].offset) + array aggregate — per doc_id
+    the offset sum and span count, over the generated table."""
+    from schematic_spark.accessors import TRAVERSE, get_at_path
+
+    docs = spark.read.parquet(_interleaved_parquet(spark))
+    offs = get_at_path(F.col("spans"), (TRAVERSE, "offset"))
+    return (
+        docs.select(
+            "doc_id",
+            F.aggregate(
+                offs, F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            ).alias("offset_sum"),
+            F.size("spans").alias("n_spans"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("offset_sum").alias("offset_sum"),
+            F.sum("n_spans").alias("n_spans"),
+        )
+    )
+
+
 def _q_top_docs_per_lang(spark, sf_dir):
     """Window-function coverage: top-2 documents by n_chars per lang
     (row_number over a partition, deterministic tie-break)."""
@@ -511,6 +568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift_event_types": _q_chi2_drift_event_types,
         "quality_score_documents": _q_quality_score_documents,
         "versioned_dispatch_documents": _q_versioned_dispatch_documents,
+        "events_value_percentiles": _q_events_value_percentiles,
+        "heavy_clickers_not_viewers": _q_heavy_clickers_not_viewers,
+        "span_offset_totals": _q_span_offset_totals,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "embedding_near_pairs_by_label": _q_embedding_near_pairs_by_label,
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
@@ -851,6 +911,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    (SELECT n_rejected FROM r) AS n_rejected
             FROM u GROUP BY lang
+        """,
+        "events_value_percentiles": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        """,
+        "heavy_clickers_not_viewers": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            GROUP BY user_id HAVING count(*) >= 15
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'view'
+            GROUP BY user_id HAVING count(*) >= 15
+        """,
+        "span_offset_totals": f"""
+            SELECT doc_id,
+                   CAST(sum(coalesce(list_sum(
+                     list_transform(spans, s -> CAST(s.offset AS BIGINT))
+                   ), 0)) AS BIGINT) AS offset_sum,
+                   CAST(sum(len(spans)) AS BIGINT) AS n_spans
+            FROM read_parquet(
+              '{_ORACLE_TMP}/interleaved_{_INTERLEAVED_N}/*.parquet')
+            GROUP BY doc_id
         """,
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn FROM (

@@ -8,6 +8,8 @@ from .dedup import (  # noqa: F401
     minhash_signature,
     ngram_jaccard_pairs,
     shingles,
+    shingles_from_tokens,
+    tokens_column,
     simhash,
     simhash_catalyst,
     simhash_near_duplicates,

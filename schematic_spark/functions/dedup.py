@@ -76,10 +76,23 @@ def drop_exact_duplicates(
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram array (the Jaccard universe)."""
+def tokens_column(col: Column | str) -> Column:
+    """Normalized whitespace tokens — materialize this as a COLUMN
+    before building shingles (see :func:`shingles_from_tokens`)."""
     c = F.col(col) if isinstance(col, str) else col
-    tokens = F.split(normalized_text(c), " ")
+    return F.split(normalized_text(c), " ")
+
+
+def shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram array (the Jaccard universe) from an
+    ALREADY-MATERIALIZED tokens column.
+
+    ``tokens`` is referenced inside the gram-building lambda; HOF
+    lambda bodies re-evaluate outer EXPRESSIONS per element (runtime
+    CSE does not cross lambda frames), so feeding the raw
+    normalize+split expression here makes shingling O(tokens²) per doc
+    — the pipelines materialize the token array as a column first,
+    turning the per-gram reference into a cheap attribute read."""
     k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), k),
@@ -89,6 +102,13 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
     )
     return F.array_distinct(F.coalesce(short, grams))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """One-expression convenience form — prefer
+    ``tokens_column`` + ``shingles_from_tokens`` with a projection
+    boundary in anything hot (see that function's cost note)."""
+    return shingles_from_tokens(tokens_column(col), n)
 
 
 def minhash_signature(
@@ -159,8 +179,12 @@ def minhash_lsh_candidates(
     # dedupe across HOF lambdas. A multi-referenced non-cheap column
     # keeps the projections separate (CollapseProject), so shingling
     # runs once per row.
-    with_sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    with_tok = df.select(
+        F.col(id_col), tokens_column(text_col).alias("_tok")
+    )
+    with_sh = with_tok.select(
+        F.col(id_col),
+        shingles_from_tokens(F.col("_tok"), shingle_n).alias("_sh"),
     )
     # hash each shingle string ONCE; the 32 permutations run over the
     # resulting longs (8 bytes each), not the strings
@@ -231,7 +255,10 @@ def ngram_jaccard_pairs(
     onto the (small) candidate set, then array_intersect/array_union —
     no python."""
     sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+        F.col(id_col), tokens_column(text_col).alias("_tok")
+    ).select(
+        F.col(id_col),
+        shingles_from_tokens(F.col("_tok"), shingle_n).alias("_sh"),
     ).cache()  # joined twice (both pair sides)
     out = (
         candidates
