@@ -5,8 +5,11 @@ sf0.001 returning the per-verdict summary.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 (SURVEY.md §2 + the training-pipeline operators); DuckDB oracles run on
-the same parquet views at sf0.01. Column names/aliases match between
-both sides; floats are rounded identically.
+the same parquet views at sf0.01 — EVERY query has an oracle (generated
+tables are parquet-dumped so the oracle SQL reads the same bytes; LSH
+pipelines are checked against exact all-pairs recomputation, which also
+certifies recall). Column names/aliases match between both sides;
+floats are rounded identically.
 """
 
 from __future__ import annotations

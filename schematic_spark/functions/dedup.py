@@ -404,8 +404,18 @@ def simhash_catalyst(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
       (the classic +1/−1 majority).
 
     Empty/whitespace-only text → signature 0.
+
+    Convenience form — tokenizes inline, which re-evaluates the
+    tokenizer inside the per-bit lambda (``n`` capture). Hot paths
+    materialize the tokens as a column and call
+    :func:`simhash_catalyst_from_tokens`.
     """
-    toks = _simhash_tokens(col)
+    return simhash_catalyst_from_tokens(_simhash_tokens(col), bits)
+
+
+def simhash_catalyst_from_tokens(
+    toks: Column, bits: int = SIMHASH_BITS
+) -> Column:
     pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     hashes = F.transform(
         toks,
@@ -458,8 +468,19 @@ def simhash_near_duplicates(
     degenerate 0 and would pair with each other)."""
     if catalyst:
         sig_bits = SIMHASH_BITS
-        sig = df.where(F.size(_simhash_tokens(text_col)) > 0).select(
-            F.col(id_col), simhash_catalyst(text_col).alias("_sig")
+        # tokens as a COLUMN: lambda references become attribute reads
+        # (an inline tokenizer expression would re-run per bit — the
+        # same HOF-capture trap as shingling)
+        sig = (
+            df.select(
+                F.col(id_col),
+                _simhash_tokens(text_col).alias("_stok"),
+            )
+            .where(F.size("_stok") > 0)
+            .select(
+                F.col(id_col),
+                simhash_catalyst_from_tokens(F.col("_stok")).alias("_sig"),
+            )
         )
     else:
         sig_bits = 64
