@@ -439,6 +439,21 @@ def _q_embedding_near_pairs_by_label(spark, sf_dir):
     )
 
 
+def _q_near_dup_components_embeddings(spark, sf_dir):
+    """Connected components over the (deterministic) embedding near-dup
+    pair graph via iterative min-label propagation — the clustering
+    step between pair discovery and dedup policy. The oracle recomputes
+    components with a recursive CTE over the identical pair set."""
+    from schematic_spark.functions import near_duplicate_components
+
+    pairs = _q_embedding_near_pairs_by_label(spark, sf_dir) \
+        .select("id_a", "id_b")
+    comp = near_duplicate_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 # --- formerly rows-only; all five now carry DuckDB oracles -----------------
 
 #: parquet dump of the deterministic generated table, shared with the
@@ -576,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_offset_totals": _q_span_offset_totals,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "embedding_near_pairs_by_label": _q_embedding_near_pairs_by_label,
+        "near_dup_components_embeddings": _q_near_dup_components_embeddings,
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "validate_interleaved": _q_validate_interleaved,
         "interleaved_suite": _q_interleaved_suite,
@@ -967,6 +983,35 @@ def oracle_sql() -> dict[str, str]:
                   / greatest(sqrt(list_dot_product(a.v, a.v))
                              * sqrt(list_dot_product(b.v, b.v)),
                              1e-12) >= 0.4
+        """,
+        # recursive-CTE connected components over the same deterministic
+        # pair set the embedding_near_pairs oracle pins
+        "near_dup_components_embeddings": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                    / greatest(sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v)),
+                               1e-12) >= 0.4),
+            und AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT src AS node, src AS lbl
+              FROM (SELECT DISTINCT src FROM und)
+              UNION
+              SELECT r.node, u.dst FROM reach r
+              JOIN und u ON u.src = r.lbl)
+            SELECT min_lbl AS component,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM (SELECT node, min(lbl) AS min_lbl
+                  FROM reach GROUP BY node)
+            GROUP BY min_lbl
         """,
         # exact all-pairs n-gram Jaccard — certifies the LSH pipeline's
         # recall as well as the verify stage's arithmetic

@@ -622,3 +622,74 @@ def embedding_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def near_duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 12,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs`` — connected
+    components by iterative min-label propagation: each round every
+    node takes the minimum label in its closed neighborhood; converges
+    in O(component diameter) rounds. Near-dup components are tiny and
+    shallow in practice (pairs are transitive-ish at high thresholds),
+    so a handful of rounds suffices; each round is one join + one
+    hash-agg over the EDGE list (never the corpus). Early-exits when a
+    round changes nothing.
+
+    This is the missing step between pair discovery (MinHash/SimHash/
+    embedding LSH) and deduplication policy: keep min(id) per component
+    and drop the rest."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    labels = und.select("src").distinct() \
+                .withColumn("label", F.col("src"))
+    for _ in range(max_iter):
+        # candidate label for dst = neighbor src's current label
+        cand = (
+            und.join(labels, "src")
+            .select(F.col("dst").alias("src"), "label")
+            .unionByName(labels)
+            .groupBy("src")
+            .agg(F.min("label").alias("new_label"))
+        )
+        merged = labels.join(cand, "src")
+        n_changed = merged.where(
+            F.col("new_label") != F.col("label")
+        ).count()
+        labels = merged.select(
+            "src", F.col("new_label").alias("label")
+        )
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("id"), F.col("label").alias("component")
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one document (min id) per near-dup component; documents in
+    no pair pass through. One broadcast-able join of the (tiny)
+    component map against the corpus."""
+    comp = near_duplicate_components(pairs, id_a, id_b)
+    losers = comp.where(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias(id_col))
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -318,3 +318,30 @@ class TestSimhashRound2:
         assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [
             ("a", "b", 0)
         ]
+
+
+class TestNearDupComponents:
+    def test_components_and_drop(self, spark):
+        from schematic_spark.functions import (
+            drop_near_duplicates,
+            near_duplicate_components,
+        )
+
+        # graph: {1-2, 2-3} one chain; {7-8} a pair; 5 isolated (no pair)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+        )
+        comp = {
+            r["id"]: r["component"]
+            for r in near_duplicate_components(pairs).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in (1, 2, 3, 5, 7, 8)],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect()
+        )
+        assert kept == [1, 5, 7]  # min per component + untouched doc
