@@ -650,11 +650,16 @@ def near_duplicate_components(
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
+    # edges are re-joined every round → cache; labels lineage is
+    # truncated per round (localCheckpoint) or each iteration's plan
+    # would nest the previous one and every action would re-execute the
+    # whole deepening DAG — the classic iterative-Spark blowup
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates()
+    ).dropDuplicates().cache()
     labels = und.select("src").distinct() \
-                .withColumn("label", F.col("src"))
+                .withColumn("label", F.col("src")) \
+                .localCheckpoint()
     for _ in range(max_iter):
         # candidate label for dst = neighbor src's current label
         cand = (
@@ -664,7 +669,7 @@ def near_duplicate_components(
             .groupBy("src")
             .agg(F.min("label").alias("new_label"))
         )
-        merged = labels.join(cand, "src")
+        merged = labels.join(cand, "src").localCheckpoint()
         n_changed = merged.where(
             F.col("new_label") != F.col("label")
         ).count()
@@ -673,6 +678,7 @@ def near_duplicate_components(
         )
         if n_changed == 0:
             break
+    und.unpersist()
     return labels.select(
         F.col("src").alias("id"), F.col("label").alias("component")
     )
