@@ -636,13 +636,17 @@ def near_duplicate_components(
     max_iter: int = 12,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs`` — connected
-    components by iterative min-label propagation: each round every
-    node takes the minimum label in its closed neighborhood; converges
-    in O(component diameter) rounds. Near-dup components are tiny and
-    shallow in practice (pairs are transitive-ish at high thresholds),
-    so a handful of rounds suffices; each round is one join + one
-    hash-agg over the EDGE list (never the corpus). Early-exits when a
-    round changes nothing.
+    components by min-label propagation with pointer doubling: each
+    round every node takes the minimum label in its closed
+    neighborhood, then follows its label's label one hop
+    (``label := label[label]``), so chains contract geometrically and
+    the loop converges in O(log diameter) rounds — a duplicate *chain*
+    of diameter 2^12 converges within the default ``max_iter``.
+    Each round is one join + one hash-agg over the EDGE list (never
+    the corpus) plus one self-join of the (node, label) table.
+    Early-exits when a round changes nothing; if ``max_iter`` rounds
+    pass without convergence it RAISES rather than silently returning
+    split components.
 
     This is the missing step between pair discovery (MinHash/SimHash/
     embedding LSH) and deduplication policy: keep min(id) per component
@@ -660,6 +664,8 @@ def near_duplicate_components(
     labels = und.select("src").distinct() \
                 .withColumn("label", F.col("src")) \
                 .localCheckpoint()
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     for _ in range(max_iter):
         # candidate label for dst = neighbor src's current label
         cand = (
@@ -669,7 +675,23 @@ def near_duplicate_components(
             .groupBy("src")
             .agg(F.min("label").alias("new_label"))
         )
-        merged = labels.join(cand, "src").localCheckpoint()
+        # pointer doubling: label := label's label. Labels are always
+        # node ids and cand covers every node, so the hop join always
+        # matches; left+coalesce guards the (impossible) miss. This is
+        # what turns O(diameter) rounds into O(log diameter).
+        hop = cand.select(
+            F.col("src").alias("_p"), F.col("new_label").alias("_pl")
+        )
+        doubled = (
+            cand.join(hop, cand["new_label"] == hop["_p"], "left")
+            .select(
+                "src",
+                F.least(
+                    "new_label", F.coalesce("_pl", "new_label")
+                ).alias("new_label"),
+            )
+        )
+        merged = labels.join(doubled, "src").localCheckpoint()
         n_changed = merged.where(
             F.col("new_label") != F.col("label")
         ).count()
@@ -678,6 +700,14 @@ def near_duplicate_components(
         )
         if n_changed == 0:
             break
+    else:
+        und.unpersist()
+        raise RuntimeError(
+            f"near_duplicate_components did not converge in {max_iter} "
+            f"rounds (last round changed {n_changed} labels); raise "
+            f"max_iter — with pointer doubling this needs a component "
+            f"diameter over 2^{max_iter}"
+        )
     und.unpersist()
     return labels.select(
         F.col("src").alias("id"), F.col("label").alias("component")
@@ -693,9 +723,11 @@ def drop_near_duplicates(
     id_b: str = "id_b",
 ) -> DataFrame:
     """Keep one document (min id) per near-dup component; documents in
-    no pair pass through. One broadcast-able join of the (tiny)
-    component map against the corpus."""
+    no pair pass through. Plain left_anti against the loser set — the
+    losers scale with the corpus's duplicate count (a 30%-duplicate
+    100 TB corpus has billions), so no broadcast hint: AQE broadcasts
+    only when the set actually fits, else shuffle-anti."""
     comp = near_duplicate_components(pairs, id_a, id_b)
     losers = comp.where(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col))
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")

@@ -345,3 +345,30 @@ class TestNearDupComponents:
             r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect()
         )
         assert kept == [1, 5, 7]  # min per component + untouched doc
+
+    def test_long_chain_converges_via_pointer_doubling(self, spark):
+        """A 41-node path (diameter 40) would need 40 rounds under pure
+        min-label propagation; pointer doubling must close it within the
+        default max_iter=12 (needs ~log2(40) ≈ 6 rounds)."""
+        from schematic_spark.functions import near_duplicate_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        comp = {
+            r["id"]: r["component"]
+            for r in near_duplicate_components(pairs).collect()
+        }
+        assert comp == {i: 0 for i in range(41)}
+
+    def test_nonconvergence_raises_not_silent(self, spark):
+        """max_iter too small must RAISE, never return split components."""
+        import pytest
+
+        from schematic_spark.functions import near_duplicate_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            near_duplicate_components(pairs, max_iter=2).collect()

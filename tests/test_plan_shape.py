@@ -128,3 +128,23 @@ class TestPlanShapeRound2:
         # strings print parents first, children after)
         below = plan[join_pos:]
         assert "nrm" in below, plan
+
+
+class TestPlanShapeRound3:
+    def test_drop_near_duplicates_no_forced_broadcast(self, spark):
+        """The loser set scales with the corpus — the anti-join must not
+        carry a broadcast HINT (AQE may still pick broadcast when the set
+        happens to fit; what is banned is forcing it)."""
+        from schematic_spark.functions import drop_near_duplicates
+
+        docs = spark.createDataFrame(
+            [("a", "t"), ("b", "t"), ("c", "u")], "doc_id string, text string"
+        )
+        pairs = spark.createDataFrame(
+            [("a", "b")], "id_a string, id_b string"
+        )
+        out = drop_near_duplicates(docs, pairs, id_col="doc_id")
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "UnresolvedHint" not in analyzed
+        assert "ResolvedHint" not in analyzed, analyzed
+        assert sorted(r["doc_id"] for r in out.collect()) == ["a", "c"]
