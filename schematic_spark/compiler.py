@@ -272,16 +272,10 @@ def compile_violations(schema: Schema, value: Column, path: Column) -> Column:
         if isinstance(schema, SUnion):
             # per-branch routing: the interpreter fallback expects raw
             # values, not the struct-of-branches column encoding
-            expr = _empty_violations()
-            for i in range(len(schema.alternatives) - 1, -1, -1):
-                alt = schema.alternatives[i]
-                if isinstance(alt, SNull):
-                    continue
-                expr = F.when(
-                    value[f"alt_{i}"].isNotNull(),
-                    compile_violations(alt, value[f"alt_{i}"], path),
-                ).otherwise(expr)
-            return expr
+            return _union_branch_cascade(
+                schema, value,
+                lambda alt, payload: compile_violations(alt, payload, path),
+            )
         return F.coalesce(
             _interpreted_violations(schema, value, path),
             _empty_violations(),
@@ -329,17 +323,12 @@ def _compile_violations_native(
             return _empty_violations()
         # opt-in: validate the FIRST matched branch's constraints (the
         # interpreter's validate_unions twin) — a when-chain keyed on the
-        # left-biased first non-null branch
-        expr = _empty_violations()
-        for i in range(len(schema.alternatives) - 1, -1, -1):
-            alt = schema.alternatives[i]
-            if isinstance(alt, SNull):
-                continue
-            expr = F.when(
-                value[f"alt_{i}"].isNotNull(),
-                _compile_violations_native(alt, value[f"alt_{i}"], path),
-            ).otherwise(expr)
-        return expr
+        # left-biased first matched branch
+        return _union_branch_cascade(
+            schema, value,
+            lambda alt, payload: _compile_violations_native(
+                alt, payload, path),
+        )
     raise TypeError(f"unknown schema node {schema!r}")
 
 
@@ -402,56 +391,109 @@ def structural_possible(schema: Schema) -> bool:
             or structural_possible(schema.item)
         )
     if isinstance(schema, SUnion):
-        no_match_possible = not any(
-            isinstance(a, SNull) for a in schema.alternatives
-        )
-        return no_match_possible or any(
+        return _union_no_match_possible(schema) or any(
             structural_possible(a) for a in schema.alternatives
         )
     return False
 
 
+def _branch_col(union: SUnion, value: Column, i: int) -> Column:
+    """Payload column of alternative ``i`` under the union's encoding
+    (``alt_i`` by default, a named field when ``branch_fields`` set)."""
+    return value[union.branch_field(i)]
+
+
+def _branch_matched(union: SUnion, value: Column, i: int) -> Column:
+    """Branch-commit predicate: explicit tag equality under the
+    tag-column encoding, payload non-nullness otherwise. Null-safe so a
+    null tag (or null struct) matches nothing."""
+    if union.tag_field is not None:
+        return value[union.tag_field].eqNullSafe(F.lit(union.tag_value(i)))
+    return _branch_col(union, value, i).isNotNull()
+
+
+def _union_no_match_possible(union: SUnion) -> bool:
+    """Tag encodings can always no-match (unknown/null tag); the
+    branch-nullability encodings can't when an SNull alternative
+    swallows the all-null case."""
+    if union.tag_field is not None:
+        return True
+    return not any(isinstance(a, SNull) for a in union.alternatives)
+
+
+def _union_branch_cascade(union: SUnion, value: Column, fn) -> Column:
+    """Left-biased first-matched-branch when-chain over the non-SNull
+    alternatives; ``fn(alt, payload) -> Column`` produces the branch's
+    violations array. Under the tag encoding a matched branch with a
+    null payload yields no entry here (the structural layer reports the
+    missing payload)."""
+    expr = _empty_violations()
+    for i in range(len(union.alternatives) - 1, -1, -1):
+        alt = union.alternatives[i]
+        if isinstance(alt, SNull):
+            continue
+        payload = _branch_col(union, value, i)
+        cond = _branch_matched(union, value, i)
+        if union.tag_field is not None:
+            cond = cond & payload.isNotNull()
+        expr = F.when(cond, fn(alt, payload)).otherwise(expr)
+    return expr
+
+
 def _union_matched(union: SUnion, value: Column) -> Column:
     """True when some alternative structurally matches — the columnar
     analog of the left-biased alternative parse succeeding
-    (Schema.hs:514-519). In the struct-of-nullable-branches encoding a
-    branch matches iff its ``alt_i`` is non-null; an SNull alternative
-    matches the everything-null case (explicit null / absent)."""
+    (Schema.hs:514-519). Tag encoding: the tag equals some branch's
+    tag value. Branch-nullability encodings: some branch column is
+    non-null; an SNull alternative matches the everything-null case
+    (explicit null / absent)."""
+    if union.tag_field is not None:
+        matched = F.lit(False)
+        for i in range(len(union.alternatives)):
+            matched = matched | _branch_matched(union, value, i)
+        return matched
     if any(isinstance(a, SNull) for a in union.alternatives):
         return F.lit(True)
     matched = F.lit(False)
     for i, alt in enumerate(union.alternatives):
-        matched = matched | value[f"alt_{i}"].isNotNull()
+        matched = matched | _branch_col(union, value, i).isNotNull()
     return matched
 
 
 def _union_structural(union: SUnion, value: Column, path: Column) -> Column:
     """No-match DecodingError + structural descent into the first
     matched branch (the branch the reference's parse would have
-    committed to)."""
+    committed to). Under the tag encoding the tag COMMITS the branch,
+    so a matched branch with a null payload field is itself a
+    structural (missing-field) error."""
     parts: list[Column] = []
-    if not any(isinstance(a, SNull) for a in union.alternatives):
+    if _union_no_match_possible(union):
         parts.append(_compact([
             F.when(~_union_matched(union, value),
                    _viol(path, UNION_NO_MATCH))
         ]))
-    branch_expr = None
-    for i in range(len(union.alternatives) - 1, -1, -1):
-        alt = union.alternatives[i]
-        if isinstance(alt, SNull):
-            continue
-        child = _structural_child(alt, value[f"alt_{i}"], path)
-        if child is None:
-            child = _empty_violations()
-        branch_expr = F.when(
-            value[f"alt_{i}"].isNotNull(), child
-        ).otherwise(branch_expr if branch_expr is not None
-                    else _empty_violations())
-    if branch_expr is not None and any(
+    if union.tag_field is not None:
+        cells = []
+        for i, alt in enumerate(union.alternatives):
+            if isinstance(alt, SNull):
+                continue
+            cells.append(F.when(
+                _branch_matched(union, value, i)
+                & _branch_col(union, value, i).isNull(),
+                _viol(path, missing_field_message(
+                    union.branch_field(i), alt)),
+            ))
+        if cells:
+            parts.append(_compact(cells))
+    if any(
         structural_possible(a) for a in union.alternatives
         if not isinstance(a, SNull)
     ):
-        parts.append(branch_expr)
+        def _branch_structural(alt, payload):
+            child = _structural_child(alt, payload, path)
+            return child if child is not None else _empty_violations()
+
+        parts.append(_union_branch_cascade(union, value, _branch_structural))
     return _concat_all(parts)
 
 
@@ -582,10 +624,16 @@ def spark_type_for(schema: Schema) -> DataType:
     if isinstance(schema, SOptional):
         return spark_type_for(schema.inner)
     if isinstance(schema, SUnion):
-        return StructType([
-            StructField(f"alt_{i}", spark_type_for(a), True)
-            for i, a in enumerate(schema.alternatives)
-        ])
+        fields = []
+        if schema.tag_field is not None:
+            fields.append(StructField(schema.tag_field, StringType(), True))
+        for i, a in enumerate(schema.alternatives):
+            if isinstance(a, SNull) and schema.branch_fields is not None:
+                continue  # named encodings carry no payload for null branches
+            fields.append(
+                StructField(schema.branch_field(i), spark_type_for(a), True)
+            )
+        return StructType(fields)
     raise TypeError(f"unknown schema node {schema!r}")
 
 
@@ -614,36 +662,53 @@ def _type_conforms(schema: Schema, dt: DataType, path: str) -> list[str]:
     if isinstance(schema, SNull):
         return []  # any type can hold nulls
     if isinstance(schema, SUnion):
-        # Encoding 1: struct-of-nullable-branches (alt_0..alt_{n-1}; a
-        # branch column may be absent — values just never take it)
-        if isinstance(dt, StructType) and dt.fields and all(
-            f.name.startswith("alt_") for f in dt.fields
-        ):
-            problems: list[str] = []
-            n = len(schema.alternatives)
+        # The carrier is a struct of branch columns (alt_i by default,
+        # named fields via branch_fields, plus a string tag column via
+        # tag_field). The compilers reference EVERY non-SNull branch
+        # column and the tag column unconditionally, so each must be
+        # present — an absent one would be an AnalysisException
+        # mid-plan; fail at preflight with an actionable message.
+        if not isinstance(dt, StructType):
+            return [
+                f"{path}: union columns must be a struct of branch "
+                f"columns (alt_0…/branch_fields); got {dt.simpleString()}"
+            ]
+        problems: list[str] = []
+        by_name = {f.name: f for f in dt.fields}
+        expected = set()
+        if schema.tag_field is not None:
+            expected.add(schema.tag_field)
+            tf = by_name.get(schema.tag_field)
+            if tf is None:
+                problems.append(
+                    f"{path}.{schema.tag_field}: union tag column missing"
+                )
+            elif not isinstance(tf.dataType, StringType):
+                problems.append(
+                    f"{path}.{schema.tag_field}: union tag must be "
+                    f"string, got {tf.dataType.simpleString()}"
+                )
+        for i, alt in enumerate(schema.alternatives):
+            name = schema.branch_field(i)
+            expected.add(name)
+            f = by_name.get(name)
+            if isinstance(alt, SNull):
+                continue  # null branch carries no payload
+            if f is None:
+                problems.append(
+                    f"{path}.{name}: union branch column missing"
+                )
+                continue
+            problems.extend(_type_conforms(alt, f.dataType, f"{path}.{name}"))
+        if schema.branch_fields is None:
+            # alt_i encoding: a stray alt_j field is spec drift
             for f in dt.fields:
-                try:
-                    i = int(f.name[4:])
-                except ValueError:
-                    i = -1
-                if not 0 <= i < n:
+                if f.name.startswith("alt_") and f.name not in expected:
                     problems.append(
                         f"{path}.{f.name}: union has no alternative "
-                        f"{f.name!r} (n={n})"
+                        f"{f.name!r} (n={len(schema.alternatives)})"
                     )
-                    continue
-                problems.extend(_type_conforms(
-                    schema.alternatives[i], f.dataType, f"{path}.{f.name}"
-                ))
-            return problems
-        # Anything else can't carry the union: the compiler's no-match /
-        # branch-descent expressions address alt_i fields, so fail at
-        # preflight with a actionable message instead of an
-        # AnalysisException mid-plan.
-        return [
-            f"{path}: union columns must use the struct-of-branches "
-            f"encoding struct<alt_0:…, alt_1:…>; got {dt.simpleString()}"
-        ]
+        return problems
     if isinstance(schema, SText):
         if isinstance(dt, StringType):
             return []
@@ -758,11 +823,25 @@ def _mask_node(schema: Schema, value: Column, *, required: bool) -> Column:
         for i, alt in enumerate(schema.alternatives):
             if isinstance(alt, SNull):
                 continue
-            branch_ok = _mask_node(alt, value[f"alt_{i}"], required=False)
-            ok = ok & F.coalesce(
-                F.when(value[f"alt_{i}"].isNotNull(), branch_ok),
-                F.lit(True),
-            )
+            payload = _branch_col(schema, value, i)
+            branch_ok = _mask_node(alt, payload, required=False)
+            if schema.tag_field is not None:
+                # tag committed the branch: payload must be PRESENT and
+                # clean (a null payload is the structural missing-field
+                # error _union_structural reports)
+                ok = ok & F.coalesce(
+                    F.when(
+                        _branch_matched(schema, value, i),
+                        payload.isNotNull()
+                        & F.coalesce(branch_ok, F.lit(False)),
+                    ),
+                    F.lit(True),
+                )
+            else:
+                ok = ok & F.coalesce(
+                    F.when(payload.isNotNull(), branch_ok),
+                    F.lit(True),
+                )
         return ok
     own = _constraint_ok(schema, value)
     present = value.isNotNull() if required else F.lit(True)
@@ -793,17 +872,22 @@ def _mask_node(schema: Schema, value: Column, *, required: bool) -> Column:
 
 
 def union_tag(value: Column, union: SUnion) -> Column:
-    """First-match-wins branch tag for a union column represented as a
-    struct of nullable branches (alt_0..alt_N or named fields) — the
-    columnar analog of the reference's left-biased alternative parse
-    (Schema.hs:514-519): a ``coalesce``-style ``when`` cascade returning
-    the index of the first non-null branch, -1 when none matched."""
-    from pyspark.sql.types import StructType
-
+    """First-match-wins branch index for a union column — the columnar
+    analog of the reference's left-biased alternative parse
+    (Schema.hs:514-519): a ``when`` cascade returning the index of the
+    first matched branch, -1 when none matched. Supports all three
+    encodings: ``alt_i`` structs, named ``branch_fields`` structs, and
+    ``tag_field`` (kind-tagged) structs where the match is explicit tag
+    equality. SNull alternatives in the non-tagged encodings carry no
+    payload column and are never tagged (the all-null value is -1)."""
     tag = F.lit(-1)
     for i in range(len(union.alternatives) - 1, -1, -1):
-        branch = value[f"alt_{i}"]
-        tag = F.when(branch.isNotNull(), F.lit(i)).otherwise(tag)
+        if union.tag_field is None and isinstance(
+            union.alternatives[i], SNull
+        ):
+            continue
+        tag = F.when(_branch_matched(union, value, i), F.lit(i)) \
+               .otherwise(tag)
     return tag
 
 

@@ -354,13 +354,59 @@ class SUnion(Schema):
     Deviation noted for parity-hunters: the reference parses a union
     *field* against the WHOLE enclosing object value (Schema.hs:564 —
     it never looks the field name up); we parse the field's own value,
-    like the interpreter (interpret.py) does."""
+    like the interpreter (interpret.py) does.
+
+    Column encodings (north-rule span shape, SURVEY §1.2):
+
+    * default: ``struct<alt_0:…, alt_N:…>`` — branch = first non-null;
+    * ``branch_fields=("text","media_ref")`` names the branch columns
+      instead of ``alt_i`` (branch = first non-null named field);
+    * ``tag_field="kind"`` additionally discriminates by an explicit
+      string tag column inside the struct: branch *i* is matched iff
+      ``value[tag_field] == tags[i]`` (``tags`` defaults to
+      ``branch_fields``); an unknown/null tag is the no-match
+      DecodingError, and a matched branch whose payload field is null
+      is a structural error."""
 
     alternatives: tuple[Schema, ...]
     validate_branches: bool = False
+    branch_fields: tuple[str, ...] | None = None
+    tag_field: str | None = None
+    tags: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "alternatives", tuple(self.alternatives))
+        if self.branch_fields is not None:
+            object.__setattr__(
+                self, "branch_fields", tuple(self.branch_fields)
+            )
+            if len(self.branch_fields) != len(self.alternatives):
+                raise ValueError(
+                    "branch_fields must name one field per alternative"
+                )
+        if self.tags is not None:
+            object.__setattr__(self, "tags", tuple(self.tags))
+            if self.tag_field is None:
+                raise ValueError("tags requires tag_field")
+            if len(self.tags) != len(self.alternatives):
+                raise ValueError("tags must list one tag per alternative")
+        if self.tag_field is not None and self.tags is None:
+            if self.branch_fields is None:
+                raise ValueError(
+                    "tag_field requires tags or branch_fields to name "
+                    "the branches"
+                )
+            object.__setattr__(self, "tags", self.branch_fields)
+
+    def branch_field(self, i: int) -> str:
+        """Struct field carrying alternative ``i``'s payload."""
+        if self.branch_fields is not None:
+            return self.branch_fields[i]
+        return f"alt_{i}"
+
+    def tag_value(self, i: int) -> str:
+        assert self.tags is not None
+        return self.tags[i]
 
 
 _KIND_BY_TYPE: dict[type, str] = {

@@ -90,9 +90,14 @@ def parse_spec(spec: dict | str) -> Schema:
     if t == "optional":
         return SOptional(parse_spec(spec["inner"]))
     if t == "union":
+        bf = spec.get("branch_fields")
+        tags = spec.get("tags")
         return SUnion(
             tuple(parse_spec(a) for a in spec["alternatives"]),
             validate_branches=bool(spec.get("validate_branches", False)),
+            branch_fields=tuple(bf) if bf is not None else None,
+            tag_field=spec.get("tag_field"),
+            tags=tuple(tags) if tags is not None else None,
         )
     raise ValueError(f"unknown schema type: {t!r}")
 
@@ -144,5 +149,10 @@ def dump_spec(schema: Schema) -> dict:
         }
         if schema.validate_branches:
             out["validate_branches"] = True
+        if schema.branch_fields is not None:
+            out["branch_fields"] = list(schema.branch_fields)
+        if schema.tag_field is not None:
+            out["tag_field"] = schema.tag_field
+            out["tags"] = list(schema.tags)
         return out
     raise TypeError(f"unknown schema node {schema!r}")

@@ -274,3 +274,109 @@ def test_json_null_field_three_way(spark):
     assert got["explicit_null"] == ("Valid", None)
     assert got["wrong_type"] == ("DecodingError", "expected Null")
     assert got["malformed"] == ("DecodingError", "malformed json")
+
+
+# ---------------------------------------------------------------------------
+# Tag-column union encoding — the north-rule span shape
+# (struct<kind,text,media_ref,offset>); round-3 task: named-field /
+# tag-column branches instead of alt_i.
+# ---------------------------------------------------------------------------
+
+SPAN_UNION = SUnion(
+    (SText((TGt(0),)), SText()),
+    branch_fields=("text", "media_ref"),
+    tag_field="kind",
+    tags=("text", "media"),
+    validate_branches=True,
+)
+
+SPAN_SPEC = SObject((
+    ("doc_id", SText()),
+    ("spans", SArray(SPAN_UNION)),
+))
+
+SPAN_DDL = (
+    "doc_id string, spans array<struct<"
+    "kind string, text string, media_ref string, offset int>>"
+)
+
+
+class TestTaggedUnion:
+    def test_conformance_kind_tagged_struct(self, spark):
+        df = spark.createDataFrame(
+            [("d", [("text", "hello", None, 0)])], SPAN_DDL
+        )
+        res = validate(df, SPAN_SPEC)  # preflight passes
+        assert res.annotated.collect()[0]["_verdict"] == "Valid"
+
+    def test_conformance_rejects_missing_branch_column(self, spark):
+        from schematic_spark.compiler import SchemaMismatchError
+
+        df = spark.createDataFrame(
+            [("d", [("text", "hello", 0)])],
+            "doc_id string, spans array<struct<"
+            "kind string, text string, offset int>>",
+        )
+        with pytest.raises(SchemaMismatchError, match="media_ref"):
+            validate(df, SPAN_SPEC)
+
+    def test_conformance_rejects_nonstring_tag(self, spark):
+        from schematic_spark.compiler import SchemaMismatchError
+
+        df = spark.createDataFrame(
+            [("d", [(1, "hello", None)])],
+            "doc_id string, spans array<struct<"
+            "kind int, text string, media_ref string>>",
+        )
+        with pytest.raises(SchemaMismatchError, match="tag must be string"):
+            validate(df, SPAN_SPEC)
+
+    def test_union_tag_assignment(self, spark):
+        from pyspark.sql import functions as F
+
+        from schematic_spark.compiler import union_tag
+
+        df = spark.createDataFrame(
+            [("d", [
+                ("text", "hello", None, 0),
+                ("media", None, "m-1", 1),
+                ("junk", None, None, 2),
+                (None, "orphan", None, 3),
+            ])],
+            SPAN_DDL,
+        )
+        tags = df.select(
+            F.transform(
+                "spans", lambda s: union_tag(s, SPAN_UNION)
+            ).alias("t")
+        ).collect()[0]["t"]
+        assert tags == [0, 1, -1, -1]
+
+    def test_no_match_and_missing_payload(self, spark):
+        rows = [
+            ("ok_text", [("text", "hi", None, 0)]),
+            ("ok_media", [("media", None, "m-9", 0)]),
+            ("bad_tag", [("wat", None, None, 0)]),
+            ("null_tag", [(None, "x", None, 0)]),
+            ("text_no_payload", [("text", None, None, 0)]),
+            ("constraint_fail", [("text", "", None, 0)]),  # TGt(0) on text
+        ]
+        df = spark.createDataFrame(rows, SPAN_DDL)
+        res = validate(df, SPAN_SPEC)
+        got = {
+            r["doc_id"]: (r["_verdict"], r["_decoding_error"])
+            for r in res.annotated.collect()
+        }
+        assert got["ok_text"] == ("Valid", None)
+        assert got["ok_media"] == ("Valid", None)
+        assert got["bad_tag"] == ("DecodingError", "empty union")
+        assert got["null_tag"] == ("DecodingError", "empty union")
+        assert got["text_no_payload"] == (
+            "DecodingError", 'No text field: "text"'
+        )
+        assert got["constraint_fail"][0] == "ValidationError"
+
+    def test_tagged_union_spec_roundtrip(self):
+        assert parse_spec(dump_spec(SPAN_UNION)) == SPAN_UNION
+        named = SUnion((SText(), SNumber()), branch_fields=("t", "n"))
+        assert parse_spec(dump_spec(named)) == named
