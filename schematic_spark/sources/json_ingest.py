@@ -25,7 +25,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..compiler import VIOLATION_DDL, spark_type_for
-from ..schema.ast import SNull, SObject, missing_field_message
+from ..schema.ast import (
+    SArray,
+    SBoolean,
+    SNull,
+    SNumber,
+    SObject,
+    SOptional,
+    SText,
+    SUnion,
+    missing_field_message,
+)
 from ..validation import (
     DECODING_ERROR_COL,
     STRUCTURAL_COL,
@@ -51,6 +61,123 @@ def _cell(path: str, message: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Raw-JSON unions — kind-faithful decode via the VARIANT type
+# ---------------------------------------------------------------------------
+#
+# ``from_json`` cannot carry a union: the alt_i struct encoding never
+# appears in raw JSON (every branch would parse null → spurious "empty
+# union"), and its StringType slot coerces numbers to strings, losing
+# the JSON kind the left-biased parse dispatches on (Schema.hs:514-519).
+# ``try_parse_json`` → ``schema_of_variant`` recovers the exact kind
+# (STRING/BIGINT/DECIMAL…/BOOLEAN/ARRAY<…>/OBJECT<…>/VOID, NULL for a
+# missing key), so a union whose alternatives occupy DISTINCT JSON
+# kinds decodes exactly: the kind picks the branch, ``try_variant_get``
+# converts the payload to the branch's Spark type, and the standard
+# struct-of-branches machinery (no-match error, branch validation)
+# takes over unchanged.
+
+_KIND_CLASS = {
+    SText: "text", SNumber: "number", SBoolean: "boolean",
+    SArray: "array", SObject: "object",
+}
+
+
+def _variant_kind_pred(alt, kind_col):
+    if isinstance(alt, SText):
+        return kind_col == "STRING"
+    if isinstance(alt, SNumber):
+        return kind_col.isin("BIGINT", "DOUBLE", "FLOAT") \
+            | kind_col.startswith("DECIMAL")
+    if isinstance(alt, SBoolean):
+        return kind_col == "BOOLEAN"
+    if isinstance(alt, SArray):
+        return kind_col.startswith("ARRAY")
+    if isinstance(alt, SObject):
+        return kind_col.startswith("OBJECT")
+    raise TypeError(f"no JSON kind for union alternative {alt!r}")
+
+
+def _contains_default_union(schema) -> bool:
+    """True if the subtree holds an alt_i-encoded union — the one shape
+    ``from_json`` cannot carry (named/tagged unions are plain structs
+    whose field names match the raw JSON keys, so they parse fine at
+    any depth)."""
+    if isinstance(schema, SUnion):
+        if schema.branch_fields is None:
+            return True
+        return any(
+            _contains_default_union(a) for a in schema.alternatives
+        )
+    if isinstance(schema, SObject):
+        return any(_contains_default_union(s) for _, s in schema.fields)
+    if isinstance(schema, SArray):
+        return _contains_default_union(schema.item)
+    if isinstance(schema, SOptional):
+        return _contains_default_union(schema.inner)
+    return False
+
+
+def check_raw_union_support(schema: SObject) -> None:
+    """Raw-JSON ingest decodes default (alt_i-encoded) unions as
+    TOP-LEVEL fields whose alternatives occupy distinct JSON kinds
+    (text/number/boolean/array/object) — the kind picks the branch.
+    Named/tagged (``branch_fields``) unions ride ``from_json`` directly
+    at any depth. What remains unsupported — default unions below top
+    level, SNull/SOptional/SUnion alternatives, two same-kind
+    alternatives (e.g. two object shapes) — raises here with a pointer
+    to the typed-table path rather than mis-validating."""
+    for name, fs in schema.fields:
+        target = fs.inner if isinstance(fs, SOptional) else fs
+        if isinstance(target, SUnion) and target.branch_fields is None:
+            kinds = []
+            for alt in target.alternatives:
+                cls = _KIND_CLASS.get(type(alt))
+                if cls is None:
+                    raise NotImplementedError(
+                        f"raw-JSON union field {name!r}: alternative "
+                        f"{type(alt).__name__} unsupported (use the "
+                        f"typed-table path, or SOptional for nullability)"
+                    )
+                if _contains_default_union(alt):
+                    raise NotImplementedError(
+                        f"raw-JSON union field {name!r}: nested default-"
+                        f"encoding unions inside a branch are unsupported"
+                    )
+                kinds.append(cls)
+            if len(set(kinds)) != len(kinds):
+                raise NotImplementedError(
+                    f"raw-JSON union field {name!r}: two alternatives "
+                    f"share JSON kind "
+                    f"{[k for k in kinds if kinds.count(k) > 1][0]!r}; "
+                    f"the kind-dispatch decode cannot disambiguate — "
+                    f"use the typed-table path"
+                )
+        elif _contains_default_union(target):
+            raise NotImplementedError(
+                f"field {name!r}: default-encoding (alt_i) unions below "
+                f"the top level are not supported by raw-JSON ingest "
+                f"(declare branch_fields/tag_field, or use the "
+                f"typed-table path)"
+            )
+
+
+def _raw_union_col(variant_col, kind_col, name: str, union: SUnion):
+    """struct<alt_i…> for a top-level union field decoded from the
+    variant: branch i holds the payload iff the JSON kind matches
+    alternative i (kinds are distinct, so at most one branch fires)."""
+    alts = []
+    for i, alt in enumerate(union.alternatives):
+        ddl = spark_type_for(alt).simpleString()
+        alts.append(
+            F.when(
+                _variant_kind_pred(alt, kind_col),
+                F.try_variant_get(variant_col, _json_path(name), ddl),
+            ).alias(f"alt_{i}")
+        )
+    return F.struct(*alts)
+
+
 def validate_json_strings(
     df: DataFrame, json_col: str, spec, *, keep_raw: bool = False
 ) -> ValidationResult:
@@ -61,11 +188,22 @@ def validate_json_strings(
     schema = as_schema(spec)
     if not isinstance(schema, SObject):
         raise TypeError("top-level spec must be an object")
+    check_raw_union_support(schema)
+
+    def _is_variant_union(fs) -> bool:
+        t = fs.inner if isinstance(fs, SOptional) else fs
+        return isinstance(t, SUnion) and t.branch_fields is None
+
     # required-SNull fields carry no data — parse every OTHER field,
-    # and check SNull fields straight off the raw JSON (presence + kind)
+    # and check SNull fields straight off the raw JSON (presence + kind);
+    # default-encoding unions decode via the variant kind dispatch
     null_fields = [n for n, fs in schema.fields if isinstance(fs, SNull)]
+    variant_unions = [
+        (n, fs) for n, fs in schema.fields if _is_variant_union(fs)
+    ]
     data_fields = [
-        (n, fs) for n, fs in schema.fields if not isinstance(fs, SNull)
+        (n, fs) for n, fs in schema.fields
+        if not isinstance(fs, SNull) and not _is_variant_union(fs)
     ]
     st = StructType([
         StructField(n, spark_type_for(fs), True) for n, fs in data_fields
@@ -82,9 +220,38 @@ def validate_json_strings(
             {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
         ),
     )
+    union_cols = []
+    if variant_unions:
+        # one variant parse per row, one kind column per union field —
+        # MATERIALIZED as columns so the branch expressions reference
+        # columns, never re-inlined parse trees (CLAUDE.md CSE rule)
+        parsed = parsed.withColumn(
+            "_variant", F.try_parse_json(F.col(json_col))
+        )
+        for name, fs in variant_unions:
+            parsed = parsed.withColumn(
+                f"_kind__{name}",
+                F.schema_of_variant(F.try_variant_get(
+                    F.col("_variant"), _json_path(name), "variant"
+                )),
+            )
+        for name, fs in variant_unions:
+            union = fs.inner if isinstance(fs, SOptional) else fs
+            carrier = _raw_union_col(
+                F.col("_variant"), F.col(f"_kind__{name}"), name, union
+            )
+            if isinstance(fs, SOptional):
+                # missing key (kind NULL) or explicit null (VOID) → None
+                kind = F.col(f"_kind__{name}")
+                carrier = F.when(
+                    kind.isNotNull() & (kind != "VOID"), carrier
+                )
+            union_cols.append(carrier.alias(name))
     flat_cols = [
         F.col("_doc")[name].alias(name) for name, _ in data_fields
-    ] + [F.lit(None).cast("void").alias(name) for name in null_fields]
+    ] + union_cols + [
+        F.lit(None).cast("void").alias(name) for name in null_fields
+    ]
     passthrough = [c for c in df.columns if c != json_col] + (
         [json_col] if keep_raw else []
     )

@@ -380,3 +380,92 @@ class TestTaggedUnion:
         assert parse_spec(dump_spec(SPAN_UNION)) == SPAN_UNION
         named = SUnion((SText(), SNumber()), branch_fields=("t", "n"))
         assert parse_spec(dump_spec(named)) == named
+
+
+# ---------------------------------------------------------------------------
+# Raw-JSON unions — kind-faithful decode via VARIANT (round 3)
+# ---------------------------------------------------------------------------
+
+def test_raw_json_union_kind_dispatch(spark):
+    from schematic_spark.schema.ast import NGt
+    from schematic_spark.sources.json_ingest import validate_json_strings
+
+    spec = SObject((
+        ("doc_id", SText()),
+        ("u", SUnion((SText((TGt(2),)), SNumber((NGt(10),))),
+                     validate_branches=True)),
+        ("opt_u", SOptional(SUnion((SText(), SNumber())))),
+    ))
+    rows = [
+        ("text_ok", '{"doc_id":"a","u":"hello"}'),
+        ("num_ok", '{"doc_id":"b","u":42}'),
+        ("text_short", '{"doc_id":"c","u":"hi"}'),     # TGt(2) violated
+        ("num_small", '{"doc_id":"d","u":5}'),         # NGt(10) violated
+        ("missing_u", '{"doc_id":"e"}'),
+        ("null_u", '{"doc_id":"f","u":null}'),
+        ("wrong_kind", '{"doc_id":"g","u":true}'),
+        ("opt_present", '{"doc_id":"h","u":"xyz","opt_u":7}'),
+        ("malformed", '{"doc_id":'),
+    ]
+    df = spark.createDataFrame(rows, "k string, raw string")
+    res = validate_json_strings(df, "raw", spec)
+    got = {
+        r["k"]: (r["_verdict"], r["_decoding_error"])
+        for r in res.annotated.collect()
+    }
+    assert got["text_ok"] == ("Valid", None)
+    assert got["num_ok"] == ("Valid", None)
+    assert got["text_short"] == ("ValidationError", None)
+    assert got["num_small"] == ("ValidationError", None)
+    # missing / explicit-null / unmatched kind all bottom the
+    # alternative chain out — "empty union" (Schema.hs:514-519)
+    for k in ("missing_u", "null_u", "wrong_kind"):
+        assert got[k] == ("DecodingError", "empty union"), k
+    assert got["opt_present"] == ("Valid", None)
+    assert got["malformed"] == ("DecodingError", "malformed json")
+
+
+def test_raw_json_union_unsupported_shapes_raise(spark):
+    from schematic_spark.sources.json_ingest import validate_json_strings
+
+    df = spark.createDataFrame([("x", "{}")], "k string, raw string")
+    two_objects = SObject((
+        ("u", SUnion((SObject((("a", SText()),)),
+                      SObject((("b", SText()),)))),),
+    ))
+    with pytest.raises(NotImplementedError, match="share JSON kind"):
+        validate_json_strings(df, "raw", two_objects)
+    nested = SObject((
+        ("o", SObject((("u", SUnion((SText(), SNumber()))),))),
+    ))
+    with pytest.raises(NotImplementedError, match="below the top level"):
+        validate_json_strings(df, "raw", nested)
+    snull_alt = SObject((("u", SUnion((SText(), SNull()))),))
+    with pytest.raises(NotImplementedError, match="SNull"):
+        validate_json_strings(df, "raw", snull_alt)
+
+
+def test_raw_json_tagged_union_rides_from_json(spark):
+    """A kind-tagged union is a plain struct in raw JSON — from_json
+    carries it at any depth; machinery dispatches on the tag."""
+    from schematic_spark.sources.json_ingest import validate_json_strings
+
+    spec = SObject((
+        ("doc_id", SText()),
+        ("spans", SArray(SPAN_UNION)),
+    ))
+    rows = [
+        ("ok", '{"doc_id":"a","spans":[{"kind":"text","text":"hi"},'
+               '{"kind":"media","media_ref":"m-1"}]}'),
+        ("bad_tag", '{"doc_id":"b","spans":[{"kind":"wat"}]}'),
+        ("no_payload", '{"doc_id":"c","spans":[{"kind":"text"}]}'),
+    ]
+    df = spark.createDataFrame(rows, "k string, raw string")
+    res = validate_json_strings(df, "raw", spec)
+    got = {
+        r["k"]: (r["_verdict"], r["_decoding_error"])
+        for r in res.annotated.collect()
+    }
+    assert got["ok"] == ("Valid", None)
+    assert got["bad_tag"] == ("DecodingError", "empty union")
+    assert got["no_payload"] == ("DecodingError", 'No text field: "text"')
