@@ -354,67 +354,207 @@ def validate_versioned(
 # ---------------------------------------------------------------------------
 
 def validate_versioned_json_strings(
-    df: DataFrame, json_col: str, spec: VersionedSpec
+    df: DataFrame, json_col: str, spec: VersionedSpec,
+    *, persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Raw JSON bytes → versioned parse — the engine twin of
     ``decodeAndValidateVersionedWithMList``
     (``/root/reference/src/Data/Schematic.hs:87-103``): decode the string
-    column against EVERY revision's struct in one projection, dispatch
-    each row to the newest revision it is Valid under
-    (parseAndValidateWithMList order, Data/Schematic.hs:60-76), lift
-    older-revision rows through the registered upgrade chain, and union
-    back to the top revision's shape.
+    column ONCE, dispatch each row to the newest revision it is Valid
+    under (parseAndValidateWithMList order, Data/Schematic.hs:60-76),
+    lift older-revision rows through the registered upgrade chain, and
+    union back to the top revision's shape.
 
     Returns ``(upgraded_valid, rejected)``; rejected rows (malformed
     JSON or valid under no revision) keep the original columns plus
     ``_verdict`` = the TOP revision's verdict.
 
-    Physical shape: one scan, N ``from_json`` parses + N verdict
-    expression trees per row (all Catalyst, no shuffle); the revision
-    split is a set of filters like :func:`validate_versioned`.
+    Physical shape — one scan, ONE ``from_json`` for the whole chain
+    (not one per revision): revisions are grouped by field-type
+    compatibility and each GROUP gets a single parse against its
+    union-of-fields struct; a chain of AddKey/DeleteKey migrations is
+    one group, and only a type-changing ``Update`` opens a second.
+    Per-revision semantics are then derived from the shared parse:
+
+    * *malformed* is purely syntactic (``json_object_keys`` is NULL for
+      invalid JSON and non-object top levels — the only verdict forced
+      onto every revision);
+    * a field whose raw token is present but whose typed slot parsed
+      NULL failed THAT revision's type — a per-revision DecodingError,
+      so a doc rejected by the newest revision's types still dispatches
+      to an older revision it satisfies (the fallback semantics
+      ``validate_versioned`` implements via conformance-skip);
+    * required-SNull fields never enter the parse struct (NullType
+      can't ride ``from_json``); presence/kind ride ``json_object_keys``
+      + the raw token, as in ``validate_json_strings``;
+    * default-encoding unions decode via the variant kind dispatch
+      (named/tagged unions are plain structs and ride the parse).
+
+    The raw tokens come from ONE ``json_tuple`` generator (a single
+    extra streaming pass per row), not N ``get_json_object`` parses.
+
+    ``persist=True`` (default) caches the annotated frame before the
+    per-revision dispatch filters. This is not just the
+    ``validate_versioned`` memory/recompute trade: without the cache
+    barrier, predicate pushdown inlines the verdict expression trees —
+    including the ``from_json`` — into each subset's Filter condition,
+    re-parsing the document once per inlined reference. Pass
+    ``persist=False`` only when the table cannot fit and you accept
+    one full re-parse pass per revision subset.
     """
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     from .compiler import spark_type_for
+    from .schema.ast import SNull, SOptional, SUnion
+    from .sources.json_ingest import (
+        _raw_union_col,
+        check_raw_union_support,
+        with_raw_tokens,
+    )
     from .validation import compile_verdict_columns
 
     versions = spec.versions()
     top_rev = versions[0][0]
     passthrough = [c for c in df.columns if c != json_col]
 
-    marked = df
-    doc_cols: dict[str, str] = {}
-    for rev, schema in versions:
-        st = StructType(
-            [StructField(n, spark_type_for(fs), True)
-             for n, fs in schema.fields]
-            + [StructField("_corrupt", StringType())]
-        )
-        dc = f"_doc__{rev}"
-        marked = marked.withColumn(
-            dc,
-            F.from_json(
-                F.col(json_col), st,
-                {"columnNameOfCorruptRecord": "_corrupt",
-                 "mode": "PERMISSIVE"},
-            ),
-        )
-        doc_cols[rev] = dc
+    def _is_variant_union(fs) -> bool:
+        t = fs.inner if isinstance(fs, SOptional) else fs
+        return isinstance(t, SUnion) and t.branch_fields is None
 
-    top_doc = F.col(doc_cols[top_rev])
-    malformed = (
-        top_doc["_corrupt"].isNotNull()
-        | F.col(json_col).isNull()
-        | top_doc.isNull()
+    def _split(schema):
+        nulls, vunions, data = [], [], []
+        for n, fs in schema.fields:
+            if isinstance(fs, SNull):
+                nulls.append(n)
+            elif _is_variant_union(fs):
+                vunions.append((n, fs))
+            else:
+                data.append((n, fs))
+        return nulls, vunions, data
+
+    token_names: list[str] = []
+
+    def _want_token(n: str) -> None:
+        if n not in token_names:
+            token_names.append(n)
+
+    # ---- parse groups: one from_json per field-type-compatible set ----
+    groups: list[dict] = []          # field name -> Spark DataType
+    rev_group: dict[str, int] = {}
+    rev_split: dict[str, tuple] = {}
+    for rev, schema in versions:
+        check_raw_union_support(schema)
+        nulls, vunions, data = _split(schema)
+        rev_split[rev] = (nulls, vunions, data)
+        fields = {n: spark_type_for(fs) for n, fs in data}
+        gi = None
+        for j, g in enumerate(groups):
+            if all(g.get(n, t) == t for n, t in fields.items()):
+                g.update(fields)
+                gi = j
+                break
+        if gi is None:
+            groups.append(dict(fields))
+            gi = len(groups) - 1
+        rev_group[rev] = gi
+        for n, _ in data:
+            _want_token(n)   # typefail detection
+        for n in nulls:
+            _want_token(n)   # explicit-null vs wrong-value
+
+    marked = with_raw_tokens(df, json_col, token_names)
+    marked = marked.withColumn(
+        "_keys", F.json_object_keys(F.col(json_col))
     )
+    for j, g in enumerate(groups):
+        st = StructType([StructField(n, t, True) for n, t in g.items()])
+        marked = marked.withColumn(
+            f"_doc__g{j}",
+            F.from_json(F.col(json_col), st, {"mode": "PERMISSIVE"}),
+        )
+
+    # ---- variant unions (deduped across revisions) ----
+    union_col_names: dict[tuple, str] = {}
+    all_vunions = [
+        (n, fs) for _, (_, vus, _) in rev_split.items() for n, fs in vus
+    ]
+    if all_vunions:
+        marked = marked.withColumn(
+            "_variant", F.try_parse_json(F.col(json_col))
+        )
+        kind_done: set[str] = set()
+        from .sources.json_ingest import _json_path
+        for n, fs in all_vunions:
+            if n not in kind_done:
+                marked = marked.withColumn(
+                    f"_kind__{n}",
+                    F.schema_of_variant(F.try_variant_get(
+                        F.col("_variant"), _json_path(n), "variant"
+                    )),
+                )
+                kind_done.add(n)
+        for idx, (n, fs) in enumerate(all_vunions):
+            key = (n, fs)
+            if key in union_col_names:
+                continue
+            union = fs.inner if isinstance(fs, SOptional) else fs
+            carrier = _raw_union_col(
+                F.col("_variant"), F.col(f"_kind__{n}"), n, union
+            )
+            if isinstance(fs, SOptional):
+                kind = F.col(f"_kind__{n}")
+                carrier = F.when(
+                    kind.isNotNull() & (kind != "VOID"), carrier
+                )
+            cname = f"_u__{len(union_col_names)}"
+            marked = marked.withColumn(cname, carrier)
+            union_col_names[key] = cname
+
+    malformed = F.col(json_col).isNull() | F.col("_keys").isNull()
+
+    def _present(n: str):
+        return F.coalesce(
+            F.array_contains(F.col("_keys"), n), F.lit(False)
+        )
+
+    def _row_pieces(rev: str, schema) -> list:
+        """Columns for the revision's row struct, in schema field order."""
+        nulls, vunions, data = rev_split[rev]
+        vmap = {n: union_col_names[(n, fs)] for n, fs in vunions}
+        doc = F.col(f"_doc__g{rev_group[rev]}")
+        pieces = []
+        for n, fs in schema.fields:
+            if n in nulls:
+                pieces.append(F.lit(None).cast("void").alias(n))
+            elif n in vmap:
+                pieces.append(F.col(vmap[n]).alias(n))
+            else:
+                pieces.append(doc[n].alias(n))
+        return pieces
 
     verdict_cols: dict[str, str] = {}
     for rev, schema in versions:
-        cols = compile_verdict_columns(schema, row=F.col(doc_cols[rev]))
+        nulls, vunions, data = rev_split[rev]
+        # per-revision type failure: raw token present, typed slot null
+        doc = F.col(f"_doc__g{rev_group[rev]}")
+        typefail = F.lit(False)
+        for n, _ in data:
+            typefail = typefail | (
+                doc[n].isNull() & F.col(f"_raw__{n}").isNotNull()
+            )
+        # required SNull: missing key OR a non-null value both reject
+        snull_bad = F.lit(False)
+        for n in nulls:
+            snull_bad = snull_bad | (
+                ~_present(n) | F.col(f"_raw__{n}").isNotNull()
+            )
+        row = F.struct(*_row_pieces(rev, schema))
+        cols = compile_verdict_columns(schema, row=row)
         cname = f"_jverdict__{rev}"
         marked = marked.withColumn(
             cname,
-            F.when(malformed, F.lit("DecodingError"))
+            F.when(malformed | typefail | snull_bad,
+                   F.lit("DecodingError"))
             .otherwise(cols[VERDICT_COL]),
         )
         verdict_cols[rev] = cname
@@ -425,6 +565,8 @@ def validate_versioned_json_strings(
             F.col(verdict_cols[rev]) == "Valid", F.lit(rev)
         ).otherwise(win_expr)
     marked = marked.withColumn("_winning_revision", win_expr)
+    if persist:
+        marked = marked.cache()
 
     revs_newest_first = [rev for rev, _ in versions]
     schemas = dict(versions)
@@ -435,8 +577,7 @@ def validate_versioned_json_strings(
             F.col("_winning_revision") == rev
         ).select(
             *[F.col(c) for c in passthrough],
-            *[F.col(doc_cols[rev])[n].alias(n)
-              for n in schema.field_names()],
+            *_row_pieces(rev, schema),
         )
         for newer in reversed(revs_newest_first[:idx]):
             up = spec.upgrades.get(newer)

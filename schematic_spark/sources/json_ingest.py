@@ -162,6 +162,30 @@ def check_raw_union_support(schema: SObject) -> None:
             )
 
 
+def with_raw_tokens(df: DataFrame, json_col: str, names) -> DataFrame:
+    """Add one ``_raw__<name>`` string column per top-level field name:
+    the field's raw JSON token text, NULL for a missing key, a literal
+    ``null`` value, or a malformed document. One ``json_tuple`` parse
+    serves every name (a single streaming pass per row); falls back to
+    per-name ``get_json_object`` only if the positional c0..cN output
+    names would collide with existing columns."""
+    names = list(names)
+    if not names:
+        return df
+    taken = set(df.columns)
+    if any(f"c{i}" in taken for i in range(len(names))):
+        for n in names:
+            df = df.withColumn(
+                f"_raw__{n}",
+                F.get_json_object(F.col(json_col), _json_path(n)),
+            )
+        return df
+    df = df.select("*", F.json_tuple(F.col(json_col), *names))
+    for i, n in enumerate(names):
+        df = df.withColumnRenamed(f"c{i}", f"_raw__{n}")
+    return df
+
+
 def _raw_union_col(variant_col, kind_col, name: str, union: SUnion):
     """struct<alt_i…> for a top-level union field decoded from the
     variant: branch i holds the payload iff the JSON kind matches

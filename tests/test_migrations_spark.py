@@ -325,3 +325,105 @@ class TestCheckpointOnePass:
         assert r2["processed_buckets"] == []
         # re-run after the "crash" didn't duplicate committed rows
         assert read_violations(spark, fmt).count() == 10
+
+
+class TestVersionedJsonRound3:
+    """Round-3 rework: single-parse groups, per-revision type failure,
+    SNull + union fields over raw JSON (ADVICE r2 high/medium)."""
+
+    def test_type_changing_update_dispatches_to_old_revision(self, spark):
+        # ADVICE-high regression: top revision types bar as number; a doc
+        # with bar as a string must NOT be globally 'malformed' — it is a
+        # type failure at top only, and must dispatch to 'initial' and
+        # upgrade (decodeAndValidateVersionedWithMList fallback).
+        from schematic_spark.migrations import validate_versioned_json_strings
+        from schematic_spark.schema import NGt
+
+        migs = [Migration(
+            "bar_to_num", (Diff(("bar",), Update(SNumber((NGt(0),)))),)
+        )]
+        spec = VersionedSpec(
+            base=SObject((
+                ("foo", SArray(SNumber((NGt(10),)), (AEq(1),))),
+                ("bar", SText((TEnum(("foo", "bar")),))),
+            )),
+            migrations=migs,
+            upgrades={"bar_to_num": lambda d: d.withColumn(
+                "bar", F.lit(7.0))},
+        )
+        rows = [
+            ("top", '{"foo":[13],"bar":5}'),
+            ("old", '{"foo":[13],"bar":"foo"}'),   # string bar: top typefails
+            ("bad", '{"foo":[13],"bar":true}'),    # neither revision
+        ]
+        df = spark.createDataFrame(rows, "k string, raw string")
+        upgraded, rejected = validate_versioned_json_strings(df, "raw", spec)
+        up = {r["k"]: r["bar"] for r in upgraded.collect()}
+        assert up == {"top": 5.0, "old": 7.0}
+        assert [r["k"] for r in rejected.collect()] == ["bad"]
+
+    def test_snull_field_three_way_per_revision(self, spark):
+        from schematic_spark.migrations import validate_versioned_json_strings
+        from schematic_spark.schema import SNull
+
+        migs = [Migration(
+            "add_marker", (Diff((), AddKey("marker", SNull())),)
+        )]
+        spec = VersionedSpec(
+            base=SObject((("foo", SText()),)),
+            migrations=migs,
+            upgrades={"add_marker": lambda d: d.withColumn(
+                "marker", F.lit(None).cast("void"))},
+        )
+        rows = [
+            ("top", '{"foo":"a","marker":null}'),   # explicit null: top
+            ("old", '{"foo":"a"}'),                 # missing: initial, upgraded
+            ("bad", '{"foo":"a","marker":5}'),      # wrong kind: extra key is
+                                                    # fine at initial → initial
+        ]
+        df = spark.createDataFrame(rows, "k string, raw string")
+        upgraded, rejected = validate_versioned_json_strings(df, "raw", spec)
+        assert rejected.count() == 0
+        assert upgraded.count() == 3  # all land at top shape
+
+    def test_single_from_json_for_addkey_chain(self, spark):
+        # Task: 'plan shows one JsonToStructs' — an AddKey/DeleteKey chain
+        # must share ONE parse group (per-revision parses were O(N) full
+        # JSON parses per row).
+        from schematic_spark.migrations import validate_versioned_json_strings
+
+        spec = VersionedSpec(
+            base=BASE,
+            migrations=[Migration(
+                "add_quux", (Diff((), AddKey("quux", SNumber())),)
+            )],
+            upgrades={"add_quux": add_column_upgrade("quux", 1.0)},
+        )
+        df = spark.createDataFrame([("k", '{"foo":[13]}')],
+                                   "k string, raw string")
+        upgraded, rejected = validate_versioned_json_strings(df, "raw", spec)
+        plan = rejected._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("from_json") == 1, plan
+
+    def test_union_field_versioned_raw(self, spark):
+        from schematic_spark.migrations import validate_versioned_json_strings
+        from schematic_spark.schema import SUnion
+
+        spec = VersionedSpec(
+            base=SObject((
+                ("foo", SText()),
+                ("u", SUnion((SText(), SNumber()))),
+            )),
+            migrations=[],
+            upgrades={},
+        )
+        rows = [
+            ("t", '{"foo":"a","u":"hello"}'),
+            ("n", '{"foo":"a","u":3}'),
+            ("none", '{"foo":"a"}'),
+        ]
+        df = spark.createDataFrame(rows, "k string, raw string")
+        upgraded, rejected = validate_versioned_json_strings(df, "raw", spec)
+        assert sorted(r["k"] for r in upgraded.collect()) == ["n", "t"]
+        rej = {r["k"]: r["_verdict"] for r in rejected.collect()}
+        assert rej == {"none": "DecodingError"}
