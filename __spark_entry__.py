@@ -562,6 +562,106 @@ def _q_simhash_documents(spark, sf_dir):
     )
 
 
+def _q_validate_json_documents(spark, sf_dir):
+    """Raw-JSON entry point #1 — decodeAndValidateJson
+    (/root/reference/src/Data/Schematic.hs:78-85). A JSON string column
+    is constructed deterministically from documents (doc_id mod 6 picks
+    the variant) so the oracle can rebuild the identical bytes and
+    re-derive every verdict with DuckDB's JSON functions:
+
+      0 well-formed (Valid unless n_chars < 0)   3 SNull wrong value
+      1 missing required text field              4 malformed JSON
+      2 missing required-SNull key               5 constraint violation
+    """
+    from schematic_spark.schema import NGe, SNull, SNumber, SObject, SText
+    from schematic_spark.sources import validate_json_strings
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = F.pmod(F.col("doc_id"), F.lit(6))
+    did = F.col("doc_id").cast("string")
+    nch = F.col("n_chars").cast("string")
+    neg = (-F.col("n_chars") - F.lit(1)).cast("string")
+    raw = (
+        F.when(b == 0, F.concat(
+            F.lit('{"id":"'), did, F.lit('","score":'), nch,
+            F.lit(',"marker":null}')))
+        .when(b == 1, F.concat(
+            F.lit('{"score":'), nch, F.lit(',"marker":null}')))
+        .when(b == 2, F.concat(
+            F.lit('{"id":"'), did, F.lit('","score":'), nch, F.lit('}')))
+        .when(b == 3, F.concat(
+            F.lit('{"id":"'), did, F.lit('","score":'), nch,
+            F.lit(',"marker":5}')))
+        .when(b == 4, F.lit('{"id":'))
+        .otherwise(F.concat(
+            F.lit('{"id":"'), did, F.lit('","score":'), neg,
+            F.lit(',"marker":null}')))
+    )
+    spec = SObject((
+        ("id", SText()),
+        ("score", SNumber((NGe(0),))),
+        ("marker", SNull()),
+    ))
+    res = validate_json_strings(
+        docs.select("doc_id", raw.alias("raw")), "raw", spec
+    )
+    return res.annotated.select(
+        "doc_id",
+        F.col("_verdict").alias("verdict"),
+        F.coalesce(F.col("_decoding_error"), F.lit(""))
+         .alias("decoding_error"),
+    )
+
+
+def _q_versioned_json_documents(spark, sf_dir):
+    """Raw-JSON entry point #2 — decodeAndValidateVersionedWithMList
+    (/root/reference/src/Data/Schematic.hs:87-103) with a type-changing
+    Update: base types val as text, the top revision retypes it number
+    (NGe 0). Raw variants (doc_id mod 4): a number val (top unless
+    negative), a string val (top TYPE-fails, dispatches to initial and
+    upgrades via length), a missing val (rejected everywhere), and
+    malformed JSON. Exercises the per-revision type-failure semantics
+    (a doc failing the newest revision's types must still dispatch to
+    an older revision — round-2 ADVICE high) and the two-parse-group
+    plan (val: double at top, string at initial)."""
+    from schematic_spark.migrations import (
+        Diff, Migration, Update, VersionedSpec,
+        validate_versioned_json_strings,
+    )
+    from schematic_spark.schema import NGe, SNumber, SObject, SText
+
+    base = SObject((("id", SText()), ("val", SText())))
+    spec = VersionedSpec(
+        base=base,
+        migrations=[Migration(
+            "val_to_num", (Diff(("val",), Update(SNumber((NGe(0),)))),)
+        )],
+        upgrades={"val_to_num": lambda d: d.withColumn(
+            "val", F.length("val").cast("double"))},
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang")
+    b = F.pmod(F.col("doc_id"), F.lit(4))
+    nch = F.col("n_chars").cast("string")
+    raw = (
+        F.when(b == 0, F.concat(
+            F.lit('{"id":"a","val":'), nch, F.lit('}')))
+        .when(b == 1, F.concat(
+            F.lit('{"id":"a","val":"'), F.col("lang"), F.lit('"}')))
+        .when(b == 2, F.lit('{"id":"a"}'))
+        .otherwise(F.lit('{"id":'))
+    )
+    upgraded, rejected = validate_versioned_json_strings(
+        docs.select("doc_id", raw.alias("raw")), "raw", spec
+    )
+    u = upgraded.agg(
+        F.count(F.lit(1)).alias("n_upgraded"),
+        F.round(F.sum("val"), 6).alias("sum_val"),
+    )
+    r = rejected.agg(F.count(F.lit(1)).alias("n_rejected"))
+    return u.crossJoin(r)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -597,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_suite": _q_interleaved_suite,
         "media_features": _q_media_features,
         "simhash_documents": _q_simhash_documents,
+        "validate_json_documents": _q_validate_json_documents,
+        "versioned_json_documents": _q_versioned_json_documents,
     }
 
 
@@ -1142,5 +1244,103 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 1
             GROUP BY 1
+        """,
+        # the oracle rebuilds the identical JSON bytes and re-derives
+        # every verdict with DuckDB's own JSON functions (json_valid /
+        # json_type) — a genuinely independent re-validation
+        "validate_json_documents": """
+            WITH r AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN '{"id":"' || doc_id || '","score":'
+                              || n_chars || ',"marker":null}'
+                  WHEN 1 THEN '{"score":' || n_chars || ',"marker":null}'
+                  WHEN 2 THEN '{"id":"' || doc_id || '","score":'
+                              || n_chars || '}'
+                  WHEN 3 THEN '{"id":"' || doc_id || '","score":'
+                              || n_chars || ',"marker":5}'
+                  WHEN 4 THEN '{"id":'
+                  ELSE '{"id":"' || doc_id || '","score":'
+                       || (-n_chars - 1) || ',"marker":null}'
+                END AS raw
+              FROM documents),
+            p AS (
+              SELECT doc_id, raw,
+                (raw IS NULL OR NOT json_valid(raw)
+                 OR CASE WHEN json_valid(raw) THEN json_type(raw)
+                    END <> 'OBJECT') AS malformed,
+                CASE WHEN json_valid(raw)
+                     THEN json_type(raw, '$.id') END AS t_id,
+                CASE WHEN json_valid(raw)
+                     THEN json_type(raw, '$.score') END AS t_score,
+                CASE WHEN json_valid(raw)
+                     THEN json_type(raw, '$.marker') END AS t_marker,
+                CASE WHEN json_valid(raw) THEN TRY_CAST(
+                     json_extract_string(raw, '$.score') AS DOUBLE)
+                END AS score
+              FROM r)
+            SELECT doc_id,
+              CASE WHEN malformed THEN 'DecodingError'
+                   WHEN t_marker IS NULL OR t_marker <> 'NULL'
+                        OR t_id IS NULL OR t_id = 'NULL'
+                        OR t_score IS NULL OR t_score = 'NULL'
+                     THEN 'DecodingError'
+                   WHEN score < 0 THEN 'ValidationError'
+                   ELSE 'Valid' END AS verdict,
+              CASE WHEN malformed THEN 'malformed json'
+                   WHEN t_marker IS NULL THEN 'No null field: "marker"'
+                   WHEN t_marker <> 'NULL' THEN 'expected Null'
+                   WHEN t_id IS NULL OR t_id = 'NULL'
+                     THEN 'No text field: "id"'
+                   WHEN t_score IS NULL OR t_score = 'NULL'
+                     THEN 'No number field: "score"'
+                   ELSE '' END AS decoding_error
+            FROM p
+        """,
+        "versioned_json_documents": """
+            WITH r AS (
+              SELECT doc_id, n_chars, lang, doc_id % 4 AS b,
+                CASE doc_id % 4
+                  WHEN 0 THEN '{"id":"a","val":' || n_chars || '}'
+                  WHEN 1 THEN '{"id":"a","val":"' || lang || '"}'
+                  WHEN 2 THEN '{"id":"a"}'
+                  ELSE '{"id":' END AS raw
+              FROM documents),
+            c AS (
+              SELECT *,
+                (raw IS NULL OR NOT json_valid(raw)
+                 OR CASE WHEN json_valid(raw) THEN json_type(raw)
+                    END <> 'OBJECT') AS malformed,
+                CASE WHEN json_valid(raw)
+                     THEN json_type(raw, '$.val') END AS t_val
+              FROM r),
+            d AS (
+              SELECT *,
+                CASE
+                  WHEN malformed THEN NULL
+                  -- newest first: top revision needs a number >= 0
+                  WHEN t_val IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+                       AND TRY_CAST(json_extract_string(raw, '$.val')
+                                    AS DOUBLE) >= 0
+                    THEN 'val_to_num'
+                  -- initial coerces any present non-null scalar to text
+                  WHEN t_val IS NOT NULL AND t_val <> 'NULL'
+                    THEN 'initial'
+                  ELSE NULL END AS win
+              FROM c),
+            u AS (
+              SELECT CASE
+                WHEN win = 'val_to_num'
+                  THEN TRY_CAST(json_extract_string(raw, '$.val')
+                                AS DOUBLE)
+                -- the upgrade: length of the text form
+                WHEN b = 0 THEN CAST(length(CAST(n_chars AS VARCHAR))
+                                     AS DOUBLE)
+                ELSE CAST(length(lang) AS DOUBLE) END AS val
+              FROM d WHERE win IS NOT NULL)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_upgraded,
+                   (SELECT round(sum(val), 6) FROM u) AS sum_val,
+                   (SELECT CAST(count(*) AS BIGINT) FROM d
+                    WHERE win IS NULL) AS n_rejected
         """,
     }
