@@ -91,43 +91,52 @@ def extract_features(
     df: DataFrame, *, batch_hint: int | None = None, strict: bool = False
 ) -> DataFrame:
     """media table → (media_id, kind, n_bytes, feature[FEATURE_DIM],
-    decode_ok, decode_error) via ``mapInPandas``. Decode failures are
-    rows, not job failures (quarantine semantics, like validation)."""
+    decode_ok, decode_error). Decode failures are rows, not job
+    failures (quarantine semantics, like validation).
+
+    Only the codec call crosses into Python (an Arrow-batched scalar
+    ``pandas_udf`` over (payload, kind) returning struct<feature,
+    decode_error>); ``n_bytes`` and the id/kind passthrough stay in
+    Catalyst, so the Python boundary ships exactly the bytes the codec
+    needs and nothing else — with a real codec the per-item decode is
+    intrinsic, everything around it is JVM-side."""
 
     decoders = dict(DECODERS) if not strict else {
         k: _strict_decode for k in DECODERS
     }
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            feats: list = [None] * n
-            ok = np.zeros(n, dtype=bool)
-            err: list = [None] * n
-            for i in range(n):
-                kind = pdf["kind"].iloc[i]
-                try:
-                    decoder = decoders.get(kind)
-                    if decoder is None:
-                        raise ValueError(f"unknown media kind {kind!r}")
-                    feats[i] = decoder(pdf["payload"].iloc[i], kind)
-                    ok[i] = True
-                except NotImplementedError:
-                    raise
-                except Exception as e:  # decode errors become rows
-                    err[i] = f"{type(e).__name__}: {e}"
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "n_bytes": pdf["payload"].map(
-                    lambda p: len(p) if p is not None else 0
-                ),
-                "feature": feats,
-                "decode_ok": ok,
-                "decode_error": err,
-            })
+    @F.pandas_udf("struct<feature: array<float>, decode_error: string>")
+    def _decode(payload: pd.Series, kind: pd.Series) -> pd.DataFrame:
+        n = len(payload)
+        feats: list = [None] * n
+        err: list = [None] * n
+        for i in range(n):
+            k = kind.iloc[i]
+            try:
+                decoder = decoders.get(k)
+                if decoder is None:
+                    raise ValueError(f"unknown media kind {k!r}")
+                feats[i] = decoder(payload.iloc[i], k)
+            except NotImplementedError:
+                raise
+            except Exception as e:  # decode errors become rows
+                err[i] = f"{type(e).__name__}: {e}"
+        return pd.DataFrame({"feature": feats, "decode_error": err})
 
-    return df.mapInPandas(run, FEATURES_DDL)
+    staged = df.select(
+        "media_id", "kind",
+        F.coalesce(F.octet_length("payload"), F.lit(0))
+         .cast("long").alias("n_bytes"),
+        _decode(F.col("payload"), F.col("kind")).alias("_d"),
+    )
+    # derive from the MATERIALIZED _d column (one UDF evaluation), never
+    # re-inline the call per output column
+    return staged.select(
+        "media_id", "kind", "n_bytes",
+        F.col("_d")["feature"].alias("feature"),
+        F.col("_d")["decode_error"].isNull().alias("decode_ok"),
+        F.col("_d")["decode_error"].alias("decode_error"),
+    )
 
 
 def synthetic_media(spark, n: int, *, seed: int = 42) -> DataFrame:
