@@ -263,16 +263,16 @@ def _q_exact_dup_groups_documents(spark, sf_dir):
 
 def _q_ks_drift_events(spark, sf_dir):
     """Two-sample KS drift between even/odd event_id halves of the same
-    table (deterministic split): the distributed half is two bucketed
-    hash-aggs, the statistic is driver-side; the oracle recomputes
+    table (deterministic split): ONE scan, one groupBy(bucket, parity)
+    hash-agg (round-2 verdict: the two-scan wrapper was the bench's
+    slowest entry); the statistic is driver-side; the oracle recomputes
     D = max|ECDF1-ECDF2| with SQL window functions."""
-    from schematic_spark.suite import ks_drift
+    from schematic_spark.suite import ks_drift_split
 
     ev = _read(spark, sf_dir, "events")
-    rep = ks_drift(
-        ev.where(F.col("event_id") % 2 == 0),
-        ev.where(F.col("event_id") % 2 == 1),
-        "value", lo=0.0, hi=500.0, n_buckets=20,
+    rep = ks_drift_split(
+        ev, "value", F.col("event_id") % 2 == 0,
+        lo=0.0, hi=500.0, n_buckets=20,
     )
     return spark.createDataFrame(
         [(round(rep.statistic, 9),
@@ -283,14 +283,13 @@ def _q_ks_drift_events(spark, sf_dir):
 
 def _q_chi2_drift_event_types(spark, sf_dir):
     """Categorical chi-square drift (event_type, even vs odd halves) —
-    Haldane 0.5 pseudo-count for unseen categories, mirrored in SQL."""
-    from schematic_spark.suite import chi2_drift
+    one groupBy(category, parity) scan; Haldane 0.5 pseudo-count for
+    unseen categories, mirrored in SQL."""
+    from schematic_spark.suite import chi2_drift_split
 
     ev = _read(spark, sf_dir, "events")
-    rep = chi2_drift(
-        ev.where(F.col("event_id") % 2 == 0),
-        ev.where(F.col("event_id") % 2 == 1),
-        "event_type",
+    rep = chi2_drift_split(
+        ev, "event_type", F.col("event_id") % 2 == 0,
     )
     return spark.createDataFrame(
         [(round(rep.statistic, 6), rep.detail["dof"],

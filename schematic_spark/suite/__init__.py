@@ -2,9 +2,11 @@ from .drift import (  # noqa: F401
     DriftReport,
     category_counts,
     chi2_drift,
+    chi2_drift_split,
     chi2_sf,
     chi_square_from_counts,
     ks_drift,
+    ks_drift_split,
     ks_from_histograms,
     numeric_histogram,
 )

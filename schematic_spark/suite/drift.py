@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 # Distributed histogram builders
 # ---------------------------------------------------------------------------
 
+def _bucket_expr(column: str, lo: float, hi: float, n_buckets: int):
+    col = F.col(column).cast("double")
+    width = (hi - lo) / n_buckets
+    return F.least(
+        F.greatest(
+            F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     column: str,
@@ -44,17 +56,9 @@ def numeric_histogram(
     """Fixed-range bucketed counts: (bucket, n). Nulls dropped. Values
     outside [lo, hi) clamp into the edge buckets so mass is conserved."""
     col = F.col(column).cast("double")
-    width = (hi - lo) / n_buckets
-    bucket = F.least(
-        F.greatest(
-            F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(n_buckets - 1),
-    )
     return (
         df.where(col.isNotNull())
-        .select(bucket.alias("bucket"))
+        .select(_bucket_expr(column, lo, hi, n_buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -224,6 +228,71 @@ def ks_drift(
     return DriftReport(
         kind="ks", statistic=d, p_value=p, drifted=p < alpha,
         detail={"n_current": sum(h1.values()), "n_baseline": sum(h2.values())},
+    )
+
+
+def ks_drift_split(
+    df: DataFrame,
+    column: str,
+    is_current,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+    alpha: float = 0.01,
+) -> DriftReport:
+    """Two-sample KS where current/baseline are a boolean SPLIT of the
+    same table (``is_current`` a Column predicate): ONE scan, one
+    ``groupBy(bucket, split)`` hash-agg (≤ 2·n_buckets rows collected)
+    — use instead of two :func:`ks_drift` scans whenever both snapshots
+    live in one table (time windows, A/B halves, partition parity)."""
+    col = F.col(column).cast("double")
+    rows = (
+        df.where(col.isNotNull() & is_current.isNotNull())
+        .select(
+            _bucket_expr(column, lo, hi, n_buckets).alias("bucket"),
+            is_current.alias("_cur"),
+        )
+        .groupBy("bucket", "_cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    h1 = {r["bucket"]: r["n"] for r in rows if r["_cur"]}
+    h2 = {r["bucket"]: r["n"] for r in rows if not r["_cur"]}
+    d, p = ks_from_histograms(h1, h2)
+    return DriftReport(
+        kind="ks", statistic=d, p_value=p, drifted=p < alpha,
+        detail={"n_current": sum(h1.values()),
+                "n_baseline": sum(h2.values())},
+    )
+
+
+def chi2_drift_split(
+    df: DataFrame,
+    column: str,
+    is_current,
+    *,
+    alpha: float = 0.01,
+) -> DriftReport:
+    """Categorical chi-square drift over a boolean split of one table —
+    one scan, one ``groupBy(category, split)`` hash-agg."""
+    rows = (
+        df.where(is_current.isNotNull())
+        .select(
+            F.coalesce(F.col(column).cast("string"), F.lit("__null__"))
+             .alias("category"),
+            is_current.alias("_cur"),
+        )
+        .groupBy("category", "_cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    obs = {r["category"]: r["n"] for r in rows if r["_cur"]}
+    base = {r["category"]: r["n"] for r in rows if not r["_cur"]}
+    stat, dof, p = chi_square_from_counts(obs, base)
+    return DriftReport(
+        kind="chi2", statistic=stat, p_value=p, drifted=p < alpha,
+        detail={"dof": dof, "n_categories": len(set(obs) | set(base))},
     )
 
 

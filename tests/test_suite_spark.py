@@ -223,6 +223,34 @@ class TestDrift:
         cat_moved = chi2_drift(skewed, base, "c")
         assert cat_moved.drifted
 
+    def test_split_variants_match_two_scan(self, spark):
+        """ks_drift_split / chi2_drift_split (one groupBy(bucket, parity)
+        scan) must equal the two-scan functions on the same split; rows
+        with a NULL split predicate belong to neither half."""
+        from schematic_spark.suite import chi2_drift_split, ks_drift_split
+
+        df = spark.range(3000).select(
+            F.col("id"),
+            (F.pmod(F.col("id"), 97) * F.when(
+                F.pmod(F.col("id"), 2) == 0, 1.0).otherwise(1.3)
+             ).alias("v"),
+            F.when(F.pmod(F.col("id"), 7) < F.pmod(F.col("id"), 3), "a")
+             .otherwise("b").alias("c"),
+            F.when(F.col("id") % 5 == 0, F.lit(None).cast("long"))
+             .otherwise(F.col("id")).alias("split_key"),
+        )
+        pred = F.col("split_key") % 2 == 0
+        cur = df.where(pred)
+        base = df.where(~pred)
+        two = ks_drift(cur, base, "v", lo=0, hi=130, n_buckets=13)
+        one = ks_drift_split(df, "v", pred, lo=0, hi=130, n_buckets=13)
+        assert one.statistic == two.statistic
+        assert one.detail == two.detail
+        ctwo = chi2_drift(cur, base, "c")
+        cone = chi2_drift_split(df, "c", pred)
+        assert cone.statistic == ctwo.statistic
+        assert cone.detail == ctwo.detail
+
 
 class TestSpanOrder:
     def test_non_monotonic_detection(self, spark, docs):
