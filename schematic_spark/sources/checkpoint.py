@@ -102,6 +102,7 @@ def run_validation_checkpointed(
     run_id: str = "run-0",
     input_snapshot: str = "unversioned",
     violations_table: str = VIOLATIONS_TABLE,
+    commit_every: int | None = None,
 ) -> dict:
     """Validate all pending buckets with resume (see module docstring
     for the pass structure and commit protocol).
@@ -109,6 +110,16 @@ def run_validation_checkpointed(
     Already-complete buckets (same input snapshot + spec fingerprint)
     are skipped. Returns a summary dict with counts and the buckets
     processed vs skipped.
+
+    ``commit_every=k`` commits lineage per WAVE of k buckets instead of
+    once for all pending buckets: a crash at 99% loses at most the
+    in-flight wave, not the whole run (round-2 verdict note). Each wave
+    is the same 3-pass protocol over its bucket subset, so the
+    atomicity of the attempt-id commit is preserved per wave. Cost: one
+    scan per wave instead of one total — worth it exactly when the
+    input is clustered/bucketed by ``key_col`` so the wave's bucket
+    filter prunes at the storage level (the 100 TB deployment shape);
+    leave ``None`` for unclustered inputs where every wave would rescan.
     """
     fp = spec_fingerprint(schema)
     run = CheckpointedRun(fmt, run_id, input_snapshot, fp, n_buckets)
@@ -129,9 +140,6 @@ def run_validation_checkpointed(
     bucket_col = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)) \
         .cast("int")
     part = df.withColumn("_bucket", bucket_col)
-    if done:  # prune committed buckets in the scan filter
-        part = part.where(~F.col("_bucket").isin(*sorted(done)))
-    res = validate(part, schema)
 
     run_cols = {
         "run_id": F.lit(run_id),
@@ -140,70 +148,88 @@ def run_validation_checkpointed(
         "spec_fp": F.lit(fp),
         "n_buckets": F.lit(n_buckets),
     }
+    meta = {
+        "run_id": run_id,
+        "attempt_id": attempt_id,
+        "input_snapshot": input_snapshot,
+        "spec_fp": fp,
+        "n_buckets": n_buckets,
+    }
 
-    # pass 1: violations for every pending bucket — ONE append, one
-    # scan, bucket-partitioned files so bucket filters prune at the
-    # storage level
-    viol = res.violations(key_col, "_bucket") \
-              .withColumnRenamed("_bucket", "bucket") \
-              .withColumns(run_cols)
-    fmt.write(viol, violations_table, mode="append",
-              partition_by=["bucket"])
+    if commit_every and commit_every > 0:
+        waves = [
+            pending[i:i + commit_every]
+            for i in range(0, len(pending), commit_every)
+        ]
+    else:
+        waves = [pending]
 
-    # pass 2: per-(bucket, verdict) metrics — one hash-agg, tiny result
-    agg = (
-        res.annotated
-        .groupBy(F.col("_bucket").alias("bucket"),
-                 F.col(VERDICT_COL).alias("verdict"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
-        )
-        .collect()
-    )
-    metrics_rows = [
-        {
-            "run_id": run_id,
-            "attempt_id": attempt_id,
-            "input_snapshot": input_snapshot,
-            "spec_fp": fp,
-            "n_buckets": n_buckets,
-            "bucket": int(r["bucket"]),
-            "verdict": r["verdict"],
-            "n_rows": int(r["n_rows"]),
-            "n_violations": int(r["n_violations"]),
-        }
-        for r in agg
-    ]
-    if metrics_rows:
-        fmt.write(
-            spark.createDataFrame(metrics_rows), METRICS_TABLE,
-            mode="append",
-        )
-
-    # pass 3 (commit point): lineage rows for ALL pending buckets —
-    # buckets with zero rows are complete too
-    rows_per_bucket: dict[int, int] = {}
     totals: dict[str, int] = {}
-    for r in agg:
-        b = int(r["bucket"])
-        rows_per_bucket[b] = rows_per_bucket.get(b, 0) + int(r["n_rows"])
-        totals[r["verdict"]] = totals.get(r["verdict"], 0) + int(r["n_rows"])
-    lineage_rows = [
-        {
-            "run_id": run_id,
-            "attempt_id": attempt_id,
-            "input_snapshot": input_snapshot,
-            "spec_fp": fp,
-            "n_buckets": n_buckets,
-            "bucket": b,
-            "status": "complete",
-            "n_rows": rows_per_bucket.get(b, 0),
-        }
-        for b in pending
-    ]
-    fmt.write(spark.createDataFrame(lineage_rows), LINEAGE_TABLE,
-              mode="append")
+    for wave in waves:
+        if len(waves) == 1 and not done:
+            wpart = part  # everything pending: no filter needed
+        elif len(waves) == 1:
+            # prune committed buckets in the scan filter
+            wpart = part.where(~F.col("_bucket").isin(*sorted(done)))
+        else:
+            wpart = part.where(F.col("_bucket").isin(*wave))
+        res = validate(wpart, schema)
+
+        # pass 1: violations for the wave's buckets — ONE append, one
+        # scan, bucket-partitioned files so bucket filters prune at the
+        # storage level
+        viol = res.violations(key_col, "_bucket") \
+                  .withColumnRenamed("_bucket", "bucket") \
+                  .withColumns(run_cols)
+        fmt.write(viol, violations_table, mode="append",
+                  partition_by=["bucket"])
+
+        # pass 2: per-(bucket, verdict) metrics — a tiny hash-agg result
+        agg = (
+            res.annotated
+            .groupBy(F.col("_bucket").alias("bucket"),
+                     F.col(VERDICT_COL).alias("verdict"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+            )
+            .collect()
+        )
+        metrics_rows = [
+            {
+                **meta,
+                "bucket": int(r["bucket"]),
+                "verdict": r["verdict"],
+                "n_rows": int(r["n_rows"]),
+                "n_violations": int(r["n_violations"]),
+            }
+            for r in agg
+        ]
+        if metrics_rows:
+            fmt.write(
+                spark.createDataFrame(metrics_rows), METRICS_TABLE,
+                mode="append",
+            )
+
+        # pass 3 (commit point): lineage rows for the wave's buckets —
+        # buckets with zero rows are complete too
+        rows_per_bucket: dict[int, int] = {}
+        for r in agg:
+            b = int(r["bucket"])
+            rows_per_bucket[b] = rows_per_bucket.get(b, 0) + int(r["n_rows"])
+            totals[r["verdict"]] = \
+                totals.get(r["verdict"], 0) + int(r["n_rows"])
+        lineage_rows = [
+            {
+                **meta,
+                "bucket": b,
+                "status": "complete",
+                "n_rows": rows_per_bucket.get(b, 0),
+            }
+            for b in wave
+        ]
+        fmt.write(spark.createDataFrame(lineage_rows), LINEAGE_TABLE,
+                  mode="append")
 
     return {
         "run_id": run_id,
@@ -217,13 +243,18 @@ def run_validation_checkpointed(
 
 def _committed_pairs(spark: SparkSession, fmt: TableFormat) -> DataFrame:
     """(input_snapshot, spec_fp, n_buckets, bucket, attempt_id) pairs
-    marked complete in lineage — the commit metadata readers join on."""
+    marked complete in lineage — the commit metadata readers join on.
+
+    Exactly ONE attempt per (input_snapshot, spec_fp, n_buckets,
+    bucket): two concurrent runs can both process and commit the same
+    pending bucket (each attempt's data is complete and equivalent),
+    and keeping both would double-count its rows downstream — pick the
+    min attempt_id deterministically."""
     lineage = fmt.read(spark, LINEAGE_TABLE)
     return (
         lineage.where(F.col("status") == "complete")
-        .select("input_snapshot", "spec_fp", "n_buckets", "bucket",
-                "attempt_id")
-        .dropDuplicates()
+        .groupBy("input_snapshot", "spec_fp", "n_buckets", "bucket")
+        .agg(F.min("attempt_id").alias("attempt_id"))
     )
 
 

@@ -427,3 +427,126 @@ class TestVersionedJsonRound3:
         assert sorted(r["k"] for r in upgraded.collect()) == ["n", "t"]
         rej = {r["k"]: r["_verdict"] for r in rejected.collect()}
         assert rej == {"none": "DecodingError"}
+
+
+class TestCheckpointWaves:
+    """Round 3: per-wave lineage commits (commit_every) + one-attempt-
+    per-bucket read dedupe (concurrent double-commit, ADVICE r2)."""
+
+    def _fixture(self, spark, tmp_path):
+        from schematic_spark.sources import ParquetDirFormat
+
+        fmt = ParquetDirFormat(root=str(tmp_path))
+        df = spark.createDataFrame(
+            [(f"d{i}", [13.0] if i % 10 else [3.0]) for i in range(100)],
+            "doc_id string, foo array<double>",
+        )
+        schema = SObject((
+            ("doc_id", SText()),
+            ("foo", SArray(SNumber((NGt(10),)), (AEq(1),))),
+        ))
+        return fmt, df, schema
+
+    def test_kill_mid_run_resumes_from_partial_waves(self, spark, tmp_path):
+        from schematic_spark.sources import read_violations
+        from schematic_spark.sources.checkpoint import LINEAGE_TABLE
+
+        fmt, df, schema = self._fixture(spark, tmp_path)
+
+        # fail the 5th write: wave 1 (buckets 0-1) fully commits (writes
+        # 1-3: violations, metrics, lineage), wave 2 dies after its
+        # violations append (write 4 ok, write 5 = metrics raises) —
+        # wave-2 rows exist in storage but are never committed
+        class KillingFormat(type(fmt)):
+            def __init__(self, inner):
+                super().__init__(root=inner.root)
+                self._writes = 0
+
+            def write(self, dfx, table, mode="overwrite",
+                      partition_by=None):
+                self._writes += 1
+                if self._writes == 5:
+                    raise RuntimeError("simulated crash mid-wave")
+                return super().write(dfx, table, mode=mode,
+                                     partition_by=partition_by)
+
+        killer = KillingFormat(fmt)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_validation_checkpointed(
+                spark, df, schema, killer, n_buckets=4, run_id="w1",
+                input_snapshot="snapW", commit_every=2,
+            )
+        lineage = fmt.read(spark, LINEAGE_TABLE)
+        committed = sorted(
+            r["bucket"] for r in lineage.where(
+                F.col("status") == "complete").collect()
+        )
+        assert committed == [0, 1]  # only wave 1 landed
+
+        # orphan wave-2 violation rows are invisible to readers
+        v_before = read_violations(spark, fmt)
+        assert set(
+            r["bucket"] for r in v_before.select("bucket").collect()
+        ) <= {0, 1}
+
+        # resume processes ONLY the unfinished buckets
+        r2 = run_validation_checkpointed(
+            spark, df, schema, fmt, n_buckets=4, run_id="w2",
+            input_snapshot="snapW", commit_every=2,
+        )
+        assert sorted(r2["processed_buckets"]) == [2, 3]
+        assert sorted(r2["skipped_buckets"]) == [0, 1]
+
+        # no duplicate visible rows: every invalid doc appears exactly once
+        v = read_violations(spark, fmt).where(
+            F.col("input_snapshot") == "snapW")
+        ids = [r["doc_id"] for r in v.select("doc_id").collect()]
+        assert len(ids) == len(set(ids)) == 10
+
+    def test_concurrent_double_commit_not_double_counted(
+        self, spark, tmp_path
+    ):
+        from schematic_spark.sources import read_violations
+
+        fmt, df, schema = self._fixture(spark, tmp_path)
+        # two runs race on the same pending buckets; both commit
+        run_validation_checkpointed(
+            spark, df, schema, fmt, n_buckets=2, run_id="a",
+            input_snapshot="snapC",
+        )
+        # second run: wipe the lineage view the run sees by pointing it
+        # at a fresh root? simpler: force reprocessing by calling the
+        # wave body again via a run that believes nothing is done — we
+        # simulate the race by running against a clone fmt whose lineage
+        # read happened before run 'a' committed
+        import shutil
+        clone_root = str(tmp_path / "clone")
+        shutil.copytree(str(tmp_path), clone_root, dirs_exist_ok=True)
+        # 'b' starts from the pre-'a' state (no lineage) → processes all
+        fmt_b = type(fmt)(root=clone_root)
+        import os
+        lineage_dir = os.path.join(clone_root, "_schematic_lineage")
+        if os.path.exists(lineage_dir):
+            shutil.rmtree(lineage_dir)
+        run_validation_checkpointed(
+            spark, df, schema, fmt_b, n_buckets=2, run_id="b",
+            input_snapshot="snapC",
+        )
+        # merge b's outputs back into the main store (the shared-storage
+        # outcome of the race: both attempts' rows + both lineage commits)
+        from schematic_spark.sources.checkpoint import (
+            LINEAGE_TABLE, METRICS_TABLE, VIOLATIONS_TABLE,
+        )
+        for t in (LINEAGE_TABLE, METRICS_TABLE, VIOLATIONS_TABLE):
+            fmt.write(
+                fmt_b.read(spark, t).where(F.col("run_id") == "b"),
+                t, mode="append",
+            )
+        # readers must see each violation exactly once
+        v = read_violations(spark, fmt).where(
+            F.col("input_snapshot") == "snapC")
+        ids = [r["doc_id"] for r in v.select("doc_id").collect()]
+        assert len(ids) == len(set(ids)) == 10
+        pf = partition_passfail(spark, fmt).where(
+            F.col("input_snapshot") == "snapC")
+        assert sum(r["n_rows"] for r in pf.collect()) == 100
