@@ -561,6 +561,69 @@ def _q_simhash_documents(spark, sf_dir):
     )
 
 
+def _q_tagged_union_spans(spark, sf_dir):
+    """North-rule span shape (struct<kind,text,media_ref,offset>)
+    validated through the kind-TAGGED union encoding (round-3 SUnion
+    tag_field/branch_fields): the tag commits the branch, an unknown
+    tag is the no-match DecodingError ("empty union", Schema.hs:514-519),
+    a committed branch with a null payload is a missing-field
+    DecodingError, and branch constraints (TGe(1) text / UUID regex
+    media_ref) validate only on the committed branch. The oracle
+    re-derives every span's verdict in SQL over the same parquet."""
+    from schematic_spark.schema import (
+        AGe, SArray, SObject, SText, SUnion, TGe, TGt, TRegex,
+    )
+    from schematic_spark.schema.helpers import UUID_REGEX
+    from schematic_spark.validation import validate
+
+    span_union = SUnion(
+        (SText((TGe(1),)), SText((TRegex(UUID_REGEX),))),
+        branch_fields=("text", "media_ref"),
+        tag_field="kind",
+        tags=("text", "media"),
+        validate_branches=True,
+    )
+    spec = SObject((
+        ("doc_id", SText((TGt(0),))),
+        ("spans", SArray(span_union, (AGe(1),))),
+    ))
+    docs = spark.read.parquet(_interleaved_parquet(spark))
+    res = validate(docs, spec)
+    return (
+        res.annotated
+        .groupBy(F.col("_verdict").alias("verdict"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size("_violations")).alias("n_violations"),
+            F.sum(F.size("_structural")).alias("n_structural"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def _q_orders_rollup(spark, sf_dir):
+    """ROLLUP(o_orderpriority, o_orderstatus) — the grouping-sets
+    engine category (SURVEY §2.9 row intentionally skipped in rounds
+    1-2, now closed): subtotal rows + grand total in one pass; Spark
+    expands the grouping sets BEFORE the exchange so the shuffle still
+    carries only (key, partial-agg) rows."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).cast("string").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n", "sum_price",
+        )
+    )
+
+
 def _q_validate_json_documents(spark, sf_dir):
     """Raw-JSON entry point #1 — decodeAndValidateJson
     (/root/reference/src/Data/Schematic.hs:78-85). A JSON string column
@@ -698,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash_documents,
         "validate_json_documents": _q_validate_json_documents,
         "versioned_json_documents": _q_versioned_json_documents,
+        "tagged_union_spans": _q_tagged_union_spans,
+        "orders_rollup": _q_orders_rollup,
     }
 
 
@@ -1341,5 +1406,48 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT round(sum(val), 6) FROM u) AS sum_val,
                    (SELECT CAST(count(*) AS BIGINT) FROM d
                     WHERE win IS NULL) AS n_rejected
+        """,
+        # per-span verdicts re-derived from the kind tag: unknown tag =
+        # no-match, committed-branch null payload = structural, branch
+        # constraints only on the committed branch
+        "tagged_union_spans": f"""
+            WITH d AS (SELECT * FROM read_parquet(
+              '{_ORACLE_TMP}/interleaved_{_INTERLEAVED_N}/*.parquet')),
+            per AS (
+              SELECT
+                (CASE WHEN NOT (length(doc_id) > 0) THEN 1 ELSE 0 END)
+                + (CASE WHEN NOT (len(spans) >= 1) THEN 1 ELSE 0 END)
+                + len(list_filter(spans, s -> s.kind = 'text'
+                      AND s.text IS NOT NULL
+                      AND NOT (length(s.text) >= 1)))
+                + len(list_filter(spans, s -> s.kind = 'media'
+                      AND s.media_ref IS NOT NULL
+                      AND NOT regexp_matches(s.media_ref,
+                      '[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{12}}')))
+                AS nv,
+                len(list_filter(spans, s -> s.kind IS NULL
+                      OR s.kind NOT IN ('text', 'media')))
+                + len(list_filter(spans, s -> s.kind = 'text'
+                      AND s.text IS NULL))
+                + len(list_filter(spans, s -> s.kind = 'media'
+                      AND s.media_ref IS NULL))
+                AS ns
+              FROM d)
+            SELECT CASE WHEN ns > 0 THEN 'DecodingError'
+                        WHEN nv > 0 THEN 'ValidationError'
+                        ELSE 'Valid' END AS verdict,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(nv) AS BIGINT) AS n_violations,
+                   CAST(sum(ns) AS BIGINT) AS n_structural
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                        AS VARCHAR) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
     }
