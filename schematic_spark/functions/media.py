@@ -72,6 +72,43 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return np.asarray(feats, dtype=np.float32)
 
 
+def _fake_decode_batch(payloads: "pd.Series") -> list:
+    """Whole-batch twin of :func:`_fake_decode` — identical math,
+    vectorized: all payload bytes concatenate into ONE buffer, each of
+    the FEATURE_DIM cosine projections is one pass over it, and
+    per-item sums come from ``np.add.reduceat`` at the item offsets.
+    Per-item Python cost drops to list assembly; items that a real
+    codec would reject (null/empty) come back as None so the caller's
+    per-item error path still fires for exactly those."""
+    n = len(payloads)
+    lens = np.fromiter(
+        (len(p) if p is not None else 0 for p in payloads),
+        dtype=np.int64, count=n,
+    )
+    good = lens > 0
+    if not good.any():
+        return [None] * n
+    buf = b"".join(p for p, g in zip(payloads, good) if g)
+    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+    glens = lens[good]
+    starts = np.zeros(len(glens), dtype=np.int64)
+    np.cumsum(glens[:-1], out=starts[1:])
+    # per-element LOCAL index within each item (idx in _fake_decode)
+    idx = np.arange(arr.size) - np.repeat(starts, glens)
+    sums = np.empty((FEATURE_DIM, len(glens)), dtype=np.float64)
+    for k in range(FEATURE_DIM):
+        w = np.cos((idx * (k + 1)) % 257 / 257.0 * 2 * np.pi) * arr
+        sums[k] = np.add.reduceat(w, starts)
+    feats = (sums / glens).T.astype(np.float32)
+    out: list = [None] * n
+    gi = 0
+    for i in range(n):
+        if good[i]:
+            out[i] = feats[gi]
+            gi += 1
+    return out
+
+
 def _strict_decode(payload: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
         f"no {kind} codec in this environment — install codec libs and "
@@ -84,6 +121,13 @@ DECODERS = {
     "image": _fake_decode,
     "audio": _fake_decode,
     "video": _fake_decode,
+}
+
+#: per-item decoder -> whole-batch twin (same math, vectorized). Keyed
+#: by the FUNCTION so registering a real codec in DECODERS automatically
+#: drops back to the per-item loop unless a twin is registered too.
+BATCH_TWINS = {
+    _fake_decode: _fake_decode_batch,
 }
 
 
@@ -110,10 +154,9 @@ def extract_features(
         n = len(payload)
         feats: list = [None] * n
         err: list = [None] * n
-        for i in range(n):
-            k = kind.iloc[i]
+
+        def item(i: int, k, decoder) -> None:
             try:
-                decoder = decoders.get(k)
                 if decoder is None:
                     raise ValueError(f"unknown media kind {k!r}")
                 feats[i] = decoder(payload.iloc[i], k)
@@ -121,6 +164,25 @@ def extract_features(
                 raise
             except Exception as e:  # decode errors become rows
                 err[i] = f"{type(e).__name__}: {e}"
+
+        karr = kind.to_numpy(dtype=object)
+        for k in pd.unique(kind):
+            idxs = np.nonzero(karr == k)[0]
+            decoder = decoders.get(k)
+            twin = BATCH_TWINS.get(decoder)
+            if twin is not None:
+                # whole-batch fast path (identical math); items the
+                # codec would reject come back None and re-run the
+                # per-item path for the exact error message
+                got = twin(payload.iloc[idxs])
+                for j, i in enumerate(idxs):
+                    if got[j] is not None:
+                        feats[i] = got[j]
+                    else:
+                        item(int(i), k, decoder)
+            else:
+                for i in idxs:
+                    item(int(i), k, decoder)
         return pd.DataFrame({"feature": feats, "decode_error": err})
 
     staged = df.select(
