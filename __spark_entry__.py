@@ -624,6 +624,27 @@ def _q_orders_rollup(spark, sf_dir):
     )
 
 
+def _q_winnow_fingerprints_documents(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints — MOSS scheme
+    (Schleimer/Wilkerson/Aiken SIGMOD'03): min-hash of each sliding
+    window over the k-gram hash sequence, deduped. Emitted per doc as
+    (count, xor) so the oracle can recompute the exact fingerprint SET
+    in SQL (same md5-15-hex-char hash as the SimHash oracle; xor is
+    order-independent and cannot overflow int64)."""
+    from schematic_spark.functions import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "text", k=8, window=4)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.aggregate(
+            "fingerprints", F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseXOR(x),
+        ).alias("fp_xor"),
+    )
+
+
 def _q_validate_json_documents(spark, sf_dir):
     """Raw-JSON entry point #1 — decodeAndValidateJson
     (/root/reference/src/Data/Schematic.hs:78-85). A JSON string column
@@ -763,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_json_documents": _q_versioned_json_documents,
         "tagged_union_spans": _q_tagged_union_spans,
         "orders_rollup": _q_orders_rollup,
+        "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
     }
 
 
@@ -1440,6 +1462,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nv) AS BIGINT) AS n_violations,
                    CAST(sum(ns) AS BIGINT) AS n_structural
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        # identical md5-15-hex k-gram hashes, windows via list slicing;
+        # count+xor are set-equality checks on the fingerprint sets
+        "winnow_fingerprints_documents": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     coalesce(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^\w\s]', '', 'g'),
+                       '\s+', ' ', 'g')), '') AS norm
+              FROM documents),
+            kh AS (
+              SELECT doc_id, [
+                  list_sum([
+                    (CAST(strpos('0123456789abcdef', substring(
+                       md5(substring(norm, i, 8)), p, 1)) - 1 AS BIGINT)
+                     << ((15 - p) * 4))
+                    for p in generate_series(1, 15)])
+                  for i in generate_series(1,
+                    greatest(length(norm) - 7, 0))] AS kh
+              FROM n),
+            fp AS (
+              SELECT doc_id,
+                CASE
+                  WHEN len(kh) >= 4 THEN list_distinct([
+                    list_min(kh[j:j+3])
+                    for j in generate_series(1, len(kh) - 3)])
+                  WHEN len(kh) > 0 THEN [list_min(kh)]
+                  ELSE [] END AS fps
+              FROM kh)
+            SELECT doc_id,
+                   CAST(len(fps) AS INT) AS n_fp,
+                   coalesce(list_aggregate(fps, 'bit_xor'),
+                            CAST(0 AS BIGINT)) AS fp_xor
+            FROM fp
         """,
         "orders_rollup": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,

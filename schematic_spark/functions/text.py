@@ -161,6 +161,98 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.xxhash64(normalized_text(col))
 
 
+def _hash15(x: Column) -> Column:
+    """int64 hash = first 15 hex chars of md5 — DuckDB computes the
+    identical value (strpos hex-parse), so everything built on it is
+    oracle-checkable in SQL. 15 chars (60 bits) keeps the conv→long
+    cast exact (16 would overflow int64)."""
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS rolling-hash scheme): hash every k-char gram
+    of the normalized text, slide a window of ``window`` hashes, keep
+    the minimum of each window, dedupe. Unlike the whole-document
+    :func:`doc_fingerprint`, shared fingerprints survive partial edits,
+    so joining on exploded fingerprints finds documents with COPIED
+    PASSAGES, not just exact clones.
+
+    All Catalyst (transform/slice/array_min over materialized columns —
+    the k-gram hash array is a column so the window lambda never
+    re-evaluates the tokenizer; round-2 CSE lesson). Cost per doc is
+    O(len·window) element ops JVM-side; ``window`` is the selectivity
+    knob (larger → fewer fingerprints, lower recall on short overlaps).
+
+    Documents shorter than ``k`` (after normalization) get an empty
+    fingerprint list; shorter than one window, the single minimum."""
+    n_grams = F.greatest(
+        F.length(F.col("_w_norm")) - F.lit(k - 1), F.lit(0)
+    )
+    out = (
+        df
+        .withColumn("_w_norm", normalized_text(text_col))
+        .withColumn(
+            "_w_kh",
+            F.when(n_grams > 0, F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: _hash15(F.col("_w_norm").substr(i, F.lit(k))),
+            )).otherwise(F.array().cast("array<long>")),
+        )
+    )
+    n_h = F.size(F.col("_w_kh"))
+    windows = F.transform(
+        F.sequence(F.lit(1), n_h - F.lit(window - 1)),
+        lambda j: F.array_min(F.slice(F.col("_w_kh"), j, window)),
+    )
+    fps = (
+        F.when(n_h >= window, F.array_distinct(windows))
+        .when(n_h > 0, F.array(F.array_min(F.col("_w_kh"))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return out.withColumn(out_col, fps).drop("_w_norm", "_w_kh")
+
+
+def shared_passage_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) for documents sharing ≥ ``min_shared``
+    winnowing fingerprints — copied-passage discovery. Shuffle carries
+    only (fingerprint, id) pairs; per-fingerprint fan-out is bounded by
+    the group join, so a degenerate fingerprint (boilerplate) costs
+    |group|² like any LSH bucket — same mitigation as minhash (cap or
+    drop hot fingerprints upstream if the corpus has giant templates)."""
+    fps = winnow_fingerprints(
+        df, text_col, k=k, window=window
+    ).select(
+        F.col(id_col), F.explode("fingerprints").alias("fp")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def with_text_analysis(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -1,19 +1,31 @@
 """Raw-JSON ingest — the engine analog of ``decodeAndValidateJson``
 (``/root/reference/src/Data/Schematic.hs:78-85``): bytes → decode →
-structural parse → validate, all three layers distinguishable.
+structural parse → validate, all three layers distinguishable and
+layered exactly like the reference:
 
-``from_json`` is Catalyst-native (whole-stage codegen'd JSON parsing);
-a malformed document parses to NULL, which we report with the
-reference's exact message ``"malformed json"`` (Data/Schematic.hs:84).
-Missing-required-field and type-mismatch detection then ride the normal
-structural layer, with one JSON-only refinement the typed-table path
-cannot make: a *missing key* inside a present document is
-distinguishable from an explicit ``null`` via ``json_object_keys``.
-That matters for required ``SNull`` fields (Schema.hs:530-532: only the
-literal ``null`` parses): a missing key is the missing-field
-DecodingError, an explicit ``null`` is fine, and any other value is an
-``expected Null`` mismatch. Optional fields keep the collapsed
-semantics (missing OR null both → None, Schema.hs:561-563).
+* **decode** (aeson's ``decode``): syntactic failure and non-object top
+  levels only — ``json_object_keys`` is NULL for both — reported with
+  the reference's exact message ``"malformed json"``
+  (Data/Schematic.hs:84);
+* **structural parse**: a field whose raw token is PRESENT but whose
+  typed ``from_json`` slot parsed NULL failed that field's type — the
+  reference's ``expected Number``/``expected Array``/… DecodingError at
+  the field path (Schema.hs:525-567, mirrored by interpret.py:101-126);
+  missing required fields ride the normal structural layer. One
+  JSON-only refinement the typed-table path cannot make: a *missing
+  key* is distinguishable from an explicit ``null`` via
+  ``json_object_keys``. That matters for required ``SNull`` fields
+  (Schema.hs:530-532: only the literal ``null`` parses): missing key →
+  missing-field DecodingError, explicit ``null`` → fine, any other
+  value → ``expected Null``. Optional fields keep the collapsed
+  missing/null semantics (Schema.hs:561-563).
+
+Documented leniencies (both directions of the Jackson parser, shared
+with the versioned entry point): JSON numbers COERCE into text fields
+("5" for 5 — from_json StringType captures any scalar), and a
+type-mismatched field nested INSIDE a struct nulls only that inner
+field (outer struct survives; a required inner field then reports
+missing-field instead of expected-Kind, an optional one parses None).
 """
 
 from __future__ import annotations
@@ -232,18 +244,21 @@ def validate_json_strings(
     st = StructType([
         StructField(n, spark_type_for(fs), True) for n, fs in data_fields
     ])
-    # PERMISSIVE mode yields an all-null struct for malformed input, so
-    # null-struct checks can't detect it; the corrupt-record column can
-    parse_st = StructType(
-        list(st.fields) + [StructField("_corrupt", StringType())]
+    # one json_tuple pass extracts every field's raw token (NULL =
+    # missing key or literal null); one json_object_keys call drives
+    # both the syntactic-malformed check and SNull key presence
+    parsed = with_raw_tokens(
+        df, json_col,
+        [n for n, _ in data_fields] + null_fields,
     )
-    parsed = df.withColumn(
-        "_doc",
-        F.from_json(
-            F.col(json_col), parse_st,
-            {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
-        ),
+    parsed = parsed.withColumn(
+        "_keys", F.json_object_keys(F.col(json_col))
     )
+    if data_fields:
+        parsed = parsed.withColumn(
+            "_doc",
+            F.from_json(F.col(json_col), st, {"mode": "PERMISSIVE"}),
+        )
     union_cols = []
     if variant_unions:
         # one variant parse per row, one kind column per union field —
@@ -282,15 +297,14 @@ def validate_json_strings(
 
     # missing-key vs explicit-null for required SNull fields: presence
     # via json_object_keys (null for non-objects → treated as missing),
-    # value kind via get_json_object (NULL for both missing and literal
+    # value kind via the raw token (NULL for both missing and literal
     # null — presence disambiguates; non-NULL ⇒ some other value)
     null_cells = []
     for name in null_fields:
-        keys = F.json_object_keys(F.col(json_col))
         present = F.coalesce(
-            F.array_contains(keys, name), F.lit(False)
+            F.array_contains(F.col("_keys"), name), F.lit(False)
         )
-        raw_val = F.get_json_object(F.col(json_col), _json_path(name))
+        raw_val = F.col(f"_raw__{name}")
         null_cells.append(F.when(
             ~present, _cell("", missing_field_message(name, SNull()))
         ))
@@ -303,14 +317,34 @@ def validate_json_strings(
         if null_cells else F.array().cast(VIOLATION_DDL)
     )
 
+    # structural-parse layer: raw token present but typed slot NULL =
+    # type failure at that field — the reference's "expected <Kind>"
+    # DecodingError (interpret.py:101-126). Union-typed fields are
+    # excluded: the union machinery's no-match error owns that case.
+    from ..compiler import _kind_label
+
+    mismatch_cells = []
+    for name, fs in data_fields:
+        target = fs.inner if isinstance(fs, SOptional) else fs
+        if isinstance(target, SUnion):
+            continue
+        mismatch_cells.append(F.when(
+            F.col("_doc")[name].isNull()
+            & F.col(f"_raw__{name}").isNotNull(),
+            _cell(f".{name}", f"expected {_kind_label(target)}"),
+        ))
+    mismatch_errs = (
+        F.array_compact(F.array(*mismatch_cells)).cast(VIOLATION_DDL)
+        if mismatch_cells else F.array().cast(VIOLATION_DDL)
+    )
+
     flat = parsed.select(
         *[F.col(c) for c in passthrough],
         (
-            F.col("_doc")["_corrupt"].isNotNull()
-            | F.col(json_col).isNull()
-            | F.col("_doc").isNull()
+            F.col(json_col).isNull() | F.col("_keys").isNull()
         ).alias("_malformed"),
         null_errs.alias("_null_errs"),
+        mismatch_errs.alias("_mismatch_errs"),
         *flat_cols,
     )
     res = validate(flat, schema)
@@ -318,7 +352,10 @@ def validate_json_strings(
     malformed_err = F.array(_cell("", MALFORMED))
     structural = (
         F.when(F.col("_malformed"), malformed_err)
-        .otherwise(F.concat(F.col("_null_errs"), F.col(STRUCTURAL_COL)))
+        .otherwise(F.concat(
+            F.col("_null_errs"), F.col("_mismatch_errs"),
+            F.col(STRUCTURAL_COL),
+        ))
     )
     ann = (
         ann
@@ -334,6 +371,6 @@ def validate_json_strings(
             DECODING_ERROR_COL,
             F.try_element_at(F.col(STRUCTURAL_COL), F.lit(1))["error"],
         )
-        .drop("_malformed", "_null_errs")
+        .drop("_malformed", "_null_errs", "_mismatch_errs")
     )
     return ValidationResult(annotated=ann, schema=schema)

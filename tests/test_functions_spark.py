@@ -372,3 +372,66 @@ class TestNearDupComponents:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             near_duplicate_components(pairs, max_iter=2).collect()
+
+
+class TestWinnowing:
+    @staticmethod
+    def _py_winnow(text, k=8, w=4):
+        import hashlib
+        import re as _re
+
+        norm = _re.sub(r"\s+", " ", _re.sub(
+            r"[^\w\s]", "", text.lower(), flags=_re.ASCII),
+            flags=_re.ASCII).strip()
+        hs = [
+            int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(max(len(norm) - k + 1, 0))
+        ]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    def test_matches_python_reference(self, spark):
+        from schematic_spark.functions import winnow_fingerprints
+
+        texts = [
+            "The quick brown fox jumps over the lazy dog!",
+            "short",
+            "",
+            "    ",
+            "Punct!!! only??? ...",
+            "aaaaaaaaaaaaaaaaaaaaaaaa",  # degenerate: identical grams
+            "The quick brown fox naps under the lazy dog!",
+        ]
+        df = spark.createDataFrame(
+            [(str(i), t) for i, t in enumerate(texts)],
+            "doc_id string, text string",
+        )
+        got = {
+            r["doc_id"]: set(r["fingerprints"])
+            for r in winnow_fingerprints(df, "text").collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[str(i)] == self._py_winnow(t), (i, t)
+
+    def test_shared_passages_survive_edits(self, spark):
+        from schematic_spark.functions import shared_passage_pairs
+
+        base = ("large scale data pipelines need deduplication and "
+                "quality filtering before training on web text")
+        edited = ("COMPLETELY new intro here but then "
+                  "large scale data pipelines need deduplication and "
+                  "quality filtering before training, different ending")
+        unrelated = "the cat sat on the mat and purred all afternoon long"
+        df = spark.createDataFrame(
+            [("a", base), ("b", edited), ("c", unrelated)],
+            "doc_id string, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in shared_passage_pairs(df, min_shared=2).collect()
+        }
+        assert ("a", "b") in pairs  # copied passage found despite edits
+        assert all(k == ("a", "b") for k in pairs)  # no false pairs

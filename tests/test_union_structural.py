@@ -469,3 +469,39 @@ def test_raw_json_tagged_union_rides_from_json(spark):
     assert got["ok"] == ("Valid", None)
     assert got["bad_tag"] == ("DecodingError", "empty union")
     assert got["no_payload"] == ("DecodingError", 'No text field: "text"')
+
+
+def test_raw_json_type_mismatch_is_field_level(spark):
+    """Round 3: a type-mismatched field is the reference's structural
+    'expected <Kind>' DecodingError at the field path (interpret.py:
+    101-126) — NOT whole-document 'malformed json' (that message is
+    reserved for syntactic failures / non-object top levels)."""
+    from schematic_spark.sources.json_ingest import validate_json_strings
+
+    spec = SObject((
+        ("name", SText()),
+        ("score", SNumber()),
+        ("tags", SOptional(SArray(SText()))),
+    ))
+    rows = [
+        ("ok", '{"name":"a","score":5,"tags":["x"]}'),
+        ("coerced", '{"name":7,"score":5}'),       # number→text coerces
+        ("bad_score", '{"name":"a","score":"x"}'),
+        ("bad_opt", '{"name":"a","score":5,"tags":7}'),  # optional too
+        ("missing", '{"score":5}'),
+        ("syntax", '{"name": '),
+        ("top_scalar", "5"),
+    ]
+    df = spark.createDataFrame(rows, "k string, raw string")
+    res = validate_json_strings(df, "raw", spec)
+    got = {
+        r["k"]: (r["_verdict"], r["_decoding_error"])
+        for r in res.annotated.collect()
+    }
+    assert got["ok"] == ("Valid", None)
+    assert got["coerced"] == ("Valid", None)  # documented leniency
+    assert got["bad_score"] == ("DecodingError", "expected Number")
+    assert got["bad_opt"] == ("DecodingError", "expected Array")
+    assert got["missing"] == ("DecodingError", 'No text field: "name"')
+    assert got["syntax"] == ("DecodingError", "malformed json")
+    assert got["top_scalar"] == ("DecodingError", "malformed json")
