@@ -228,18 +228,29 @@ def shared_passage_pairs(
     k: int = 8,
     window: int = 4,
     min_shared: int = 2,
+    max_fp_group: int | None = 500,
 ) -> DataFrame:
     """(id_a, id_b, n_shared) for documents sharing ≥ ``min_shared``
     winnowing fingerprints — copied-passage discovery. Shuffle carries
-    only (fingerprint, id) pairs; per-fingerprint fan-out is bounded by
-    the group join, so a degenerate fingerprint (boilerplate) costs
-    |group|² like any LSH bucket — same mitigation as minhash (cap or
-    drop hot fingerprints upstream if the corpus has giant templates)."""
+    only (fingerprint, id) pairs. A degenerate fingerprint (boilerplate
+    shared by a huge share of the corpus) would cost |group|² in the
+    self-join, so fingerprints carried by more than ``max_fp_group``
+    documents are DROPPED before joining (same mitigation as the
+    MinHash bucket cap: a passage that common is template noise, not
+    plagiarism signal). ``None`` disables the cap."""
     fps = winnow_fingerprints(
         df, text_col, k=k, window=window
     ).select(
         F.col(id_col), F.explode("fingerprints").alias("fp")
     )
+    if max_fp_group is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_fp_group)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

@@ -467,6 +467,8 @@ def validate_versioned_json_strings(
         "_keys", F.json_object_keys(F.col(json_col))
     )
     for j, g in enumerate(groups):
+        if not g:  # revision with no parseable fields (all SNull/union)
+            continue
         st = StructType([StructField(n, t, True) for n, t in g.items()])
         marked = marked.withColumn(
             f"_doc__g{j}",

@@ -40,6 +40,10 @@ def main() -> int:
     p.add_argument("--resume", action="store_true",
                    help="skip buckets already complete (default on; "
                         "flag kept for explicitness)")
+    p.add_argument("--commit-every", type=int, default=None,
+                   help="commit lineage per wave of N buckets (crash "
+                        "loses at most one wave; use when the input is "
+                        "clustered by the key so wave filters prune)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,6 +77,7 @@ def main() -> int:
         n_buckets=args.n_buckets,
         run_id=args.run_id,
         input_snapshot=args.input_snapshot,
+        commit_every=args.commit_every,
     )
     print(json.dumps(result))
     return 0

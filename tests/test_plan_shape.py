@@ -148,3 +148,13 @@ class TestPlanShapeRound3:
         assert "UnresolvedHint" not in analyzed
         assert "ResolvedHint" not in analyzed, analyzed
         assert sorted(r["doc_id"] for r in out.collect()) == ["a", "c"]
+
+    def test_winnow_fingerprints_jvm_only_no_shuffle(self, spark):
+        """Winnowing is per-row Catalyst: no Exchange, no Python."""
+        from schematic_spark.functions import winnow_fingerprints
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = winnow_fingerprints(docs, "text")
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
