@@ -1,0 +1,151 @@
+"""Differential property test for the RAW-JSON entry point: for random
+schemas and randomly corrupted JSON documents, ``validate_json_strings``
+must agree with the pure interpreter fed the json-parsed value —
+
+  * the 3-way verdict,
+  * the exact violation set for ValidationError rows,
+  * for DecodingError rows: the interpreter's fail-fast first message
+    must appear in the engine's (superset) structural list,
+  * syntactically malformed strings → exactly ``"malformed json"``.
+
+Corruption modes fuzzed: missing required keys (any depth), explicit
+nulls under SOptional, constraint-violating values of the CORRECT kind,
+null array elements, SNull three-way (missing / explicit null / wrong
+value), truncated (malformed) JSON. Wrong-KIND scalars for non-SNull
+fields are not generated: the engine's Jackson-side number→text
+coercion is a documented leniency (json_ingest.py module docstring)
+the row-at-a-time interpreter doesn't share.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from schematic_spark.schema.ast import Schema, SNull, SObject, SOptional
+from schematic_spark.schema.interpret import parse_and_validate
+from schematic_spark.sources.json_ingest import validate_json_strings
+from test_differential_property import _rand_schema, _rand_value
+
+MISSING = object()
+
+
+def _rand_doc(rng: random.Random, schema: SObject, *, corrupt: float):
+    """Dict for the schema: absent keys (never explicit null) model the
+    missing-field corruption for non-SNull fields; SNull fields get the
+    three-way treatment; values are kind-correct (constraint violations
+    come from _rand_value's value pool)."""
+    doc = {}
+    for name, fs in schema.fields:
+        if isinstance(fs, SNull):
+            r = rng.random()
+            if r < corrupt:
+                continue  # missing
+            if r < corrupt * 1.5:
+                doc[name] = 5  # wrong value → expected Null
+            else:
+                doc[name] = None
+            continue
+        if rng.random() < corrupt and not isinstance(fs, SOptional):
+            continue  # missing required key
+        v = _rand_value(rng, fs, corrupt=corrupt * 0.6)
+        v = _absent_instead_of_null(v, fs)
+        if v is MISSING:
+            continue
+        doc[name] = v
+    return doc
+
+
+def _absent_instead_of_null(value, schema: Schema):
+    """Nested cleanup: the generator emits None for 'corrupt' nodes; in
+    raw JSON an explicit null on a required non-SNull field has its own
+    divergent message, so map nested object-field Nones to ABSENT keys
+    (missing-field semantics both sides share). Optional Nones and null
+    array elements stay — semantics agree there."""
+    if value is None:
+        if isinstance(schema, (SOptional, SNull)):
+            return None
+        return MISSING
+    if isinstance(schema, SOptional):
+        return _absent_instead_of_null(value, schema.inner)
+    if isinstance(value, dict) and isinstance(schema, SObject):
+        out = {}
+        for n, s in schema.fields:
+            if n not in value:
+                continue
+            v = _absent_instead_of_null(value[n], s)
+            if v is not MISSING:
+                out[n] = v
+        return out
+    if isinstance(value, list):
+        item = schema.item  # SArray
+        return [
+            None if v is None else _absent_instead_of_null(v, item)
+            for v in value
+        ]
+    return value
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+def test_raw_json_matches_interpreter(spark, seed):
+    from schematic_spark.schema.verifier import (
+        UnsatisfiableSchema, verify_schema,
+    )
+
+    rng = random.Random(seed)
+    while True:
+        fields = [(f"c{i}", _rand_schema(rng, 2)) for i in range(3)]
+        fields.append(("nul", SNull()))
+        schema = SObject(tuple(fields))
+        try:
+            verify_schema(schema)
+            break
+        except UnsatisfiableSchema:
+            continue
+
+    rows = []
+    expects = {}
+    for i in range(50):
+        corrupt = 0.0 if i < 10 else 0.22
+        doc = _rand_doc(rng, schema, corrupt=corrupt)
+        raw = json.dumps(doc)
+        if i % 13 == 12:
+            raw = raw[: max(len(raw) - 3, 1)]  # truncate → malformed
+            expects[i] = None  # sentinel: expect "malformed json"
+        else:
+            expects[i] = parse_and_validate(schema, doc)
+        rows.append((i, raw))
+
+    df = spark.createDataFrame(rows, "row_id int, raw string")
+    res = validate_json_strings(df, "raw", schema)
+    got = {
+        r["row_id"]: r
+        for r in res.annotated.select(
+            "row_id", "_verdict", "_violations", "_structural",
+            "_decoding_error",
+        ).collect()
+    }
+    for i, raw in rows:
+        g = got[i]
+        expect = expects[i]
+        if expect is None:
+            assert g["_verdict"] == "DecodingError", (i, raw, dict(g.asDict()))
+            assert g["_decoding_error"] == "malformed json", (i, raw)
+            continue
+        assert g["_verdict"] == expect.verdict, (
+            i, raw, g["_verdict"], expect.verdict,
+            [(x["path"], x["error"]) for x in g["_structural"]],
+            expect.decoding_error, expect.violations,
+        )
+        if expect.verdict == "ValidationError":
+            spark_viols = sorted(
+                (x["path"], x["error"]) for x in g["_violations"]
+            )
+            assert spark_viols == sorted(expect.violations), (i, raw)
+        if expect.verdict == "DecodingError":
+            msgs = {x["error"] for x in g["_structural"]}
+            assert expect.decoding_error in msgs, (
+                i, raw, expect.decoding_error, msgs,
+            )
