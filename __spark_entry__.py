@@ -624,6 +624,31 @@ def _q_orders_rollup(spark, sf_dir):
     )
 
 
+def _q_media_resize_frames(spark, sf_dir):
+    """Resize + frame-sample plumbing over the documents-derived media
+    table: per-kind resized payload byte totals (images land at exactly
+    width*height/64 bytes; other kinds pass through) and the video
+    frame fan-out (4 uniform slices per video; slice-length arithmetic
+    mirrored in SQL)."""
+    from schematic_spark.functions import (
+        media_from_documents, resize_media, sample_frames,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    resized = resize_media(media, 64, 32)
+    per_kind = resized.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("payload")).alias("payload_bytes"),
+    )
+    frames = sample_frames(media, 4).where(F.col("frame_idx") >= 0)
+    f = frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("frame_bytes"),
+    )
+    return per_kind.crossJoin(f)
+
+
 def _q_winnow_fingerprints_documents(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints — MOSS scheme
     (Schleimer/Wilkerson/Aiken SIGMOD'03): min-hash of each sliding
@@ -785,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tagged_union_spans": _q_tagged_union_spans,
         "orders_rollup": _q_orders_rollup,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
+        "media_resize_frames": _q_media_resize_frames,
     }
 
 
@@ -1496,6 +1522,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_aggregate(fps, 'bit_xor'),
                             CAST(0 AS BIGINT)) AS fp_xor
             FROM fp
+        """,
+        # resize: images land at exactly 64*32/64=32 bytes, others keep
+        # their utf-8 byte length; frames: 4 uniform slices per video,
+        # total slice bytes = payload bytes when >=4 else 4 (each slice
+        # is forced to at least one byte)
+        "media_resize_frames": """
+            WITH m AS (
+              SELECT CASE WHEN text IS NULL THEN NULL
+                          ELSE ['image','audio','video']
+                               [(length(text) % 3) + 1] END AS kind,
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE octet_length(encode(text)) END AS blen
+              FROM documents),
+            r AS (
+              SELECT kind, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN kind = 'image' THEN 32
+                              ELSE blen END) AS BIGINT) AS payload_bytes
+              FROM m GROUP BY kind),
+            f AS (
+              SELECT CAST(4 * count(*) AS BIGINT) AS n_frames,
+                     CAST(sum(CASE WHEN blen >= 4 THEN blen
+                              ELSE 4 END) AS BIGINT) AS frame_bytes
+              FROM m WHERE kind = 'video' AND blen >= 1)
+            SELECT r.kind, r.n, r.payload_bytes, f.n_frames, f.frame_bytes
+            FROM r CROSS JOIN f
         """,
         "orders_rollup": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -201,6 +201,151 @@ def extract_features(
     )
 
 
+def _fake_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: resamples the payload
+    byte stream to exactly ``width*height//64`` bytes by nearest-index
+    pick (swap in PIL/ffmpeg via the RESIZERS registry on a real
+    cluster)."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    n_out = max(width * height // 64, 1)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(n_out) * len(arr) // n_out).clip(0, len(arr) - 1)
+    return arr[idx].tobytes()
+
+
+def _fake_frames(payload: bytes, kind: str, n_frames: int) -> list:
+    """Deterministic stand-in for video frame sampling: n_frames evenly
+    spaced byte slices (uniform temporal sampling shape)."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    if kind != "video":
+        raise ValueError(f"frame sampling needs video, got {kind!r}")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    bounds = [len(arr) * i // n_frames for i in range(n_frames + 1)]
+    return [
+        arr[bounds[i]:max(bounds[i + 1], bounds[i] + 1)].tobytes()
+        for i in range(n_frames)
+    ]
+
+
+def _strict_resize(payload, kind, width, height):
+    raise NotImplementedError(
+        "no image codec in this environment — register a resizer in "
+        "schematic_spark.functions.media.RESIZERS"
+    )
+
+
+def _strict_frames(payload, kind, n_frames):
+    raise NotImplementedError(
+        "no video codec in this environment — register a sampler in "
+        "schematic_spark.functions.media.FRAME_SAMPLERS"
+    )
+
+
+#: pluggable: kind -> (payload, kind, width, height) → payload
+RESIZERS = {"image": _fake_resize}
+#: pluggable: kind -> (payload, kind, n_frames) → list[payload]
+FRAME_SAMPLERS = {"video": _fake_frames}
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, *, strict: bool = False
+) -> DataFrame:
+    """Resize every image payload to ``width×height``; non-image rows
+    pass through untouched. Same decomposition as
+    :func:`extract_features`: the codec call is the ONLY thing in
+    Python (Arrow scalar pandas_udf over payload+kind), the metadata
+    update (``meta.width/height``) is Catalyst ``withField``, failures
+    are quarantine rows (``resize_error``), never job failures."""
+    resizers = RESIZERS if not strict else {
+        k: _strict_resize for k in RESIZERS
+    }
+
+    @F.pandas_udf("struct<payload: binary, resize_error: string>")
+    def _resize(payload: pd.Series, kind: pd.Series) -> pd.DataFrame:
+        n = len(payload)
+        out: list = [None] * n
+        err: list = [None] * n
+        for i in range(n):
+            k = kind.iloc[i]
+            fn = resizers.get(k)
+            if fn is None:
+                out[i] = payload.iloc[i]  # pass-through kinds
+                continue
+            try:
+                out[i] = fn(payload.iloc[i], k, width, height)
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                err[i] = f"{type(e).__name__}: {e}"
+        return pd.DataFrame({"payload": out, "resize_error": err})
+
+    staged = df.withColumn(
+        "_r", _resize(F.col("payload"), F.col("kind"))
+    )
+    is_img = F.col("kind") == "image"
+    ok = is_img & F.col("_r")["resize_error"].isNull()
+    return (
+        staged
+        .withColumn("payload", F.col("_r")["payload"])
+        .withColumn(
+            "meta",
+            F.when(ok, F.col("meta")
+                   .withField("width", F.lit(width).cast("int"))
+                   .withField("height", F.lit(height).cast("int")))
+            .otherwise(F.col("meta")),
+        )
+        .withColumn("resize_error", F.col("_r")["resize_error"])
+        .drop("_r")
+    )
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int, *, strict: bool = False
+) -> DataFrame:
+    """(media_id, frame_idx, frame) — one row per sampled frame of every
+    VIDEO payload (uniform temporal sampling). The sampler UDF returns
+    the frame array per video; ``posexplode`` fans out JVM-side, so the
+    Python boundary crosses once per video, not once per frame.
+    Failures become (media_id, -1, NULL) quarantine rows."""
+    samplers = FRAME_SAMPLERS if not strict else {
+        k: _strict_frames for k in FRAME_SAMPLERS
+    }
+
+    @F.pandas_udf("struct<frames: array<binary>, frame_error: string>")
+    def _frames(payload: pd.Series, kind: pd.Series) -> pd.DataFrame:
+        n = len(payload)
+        out: list = [None] * n
+        err: list = [None] * n
+        for i in range(n):
+            k = kind.iloc[i]
+            try:
+                fn = samplers.get(k)
+                if fn is None:
+                    raise ValueError(f"no frame sampler for kind {k!r}")
+                out[i] = fn(payload.iloc[i], k, n_frames)
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                err[i] = f"{type(e).__name__}: {e}"
+        return pd.DataFrame({"frames": out, "frame_error": err})
+
+    vids = df.where(F.col("kind") == "video").withColumn(
+        "_f", _frames(F.col("payload"), F.col("kind"))
+    )
+    good = vids.where(F.col("_f")["frame_error"].isNull()).select(
+        "media_id",
+        F.posexplode(F.col("_f")["frames"]).alias("frame_idx", "frame"),
+    )
+    bad = vids.where(F.col("_f")["frame_error"].isNotNull()).select(
+        "media_id",
+        F.lit(-1).alias("frame_idx"),
+        F.lit(None).cast("binary").alias("frame"),
+    )
+    return good.unionByName(bad)
+
+
 def synthetic_media(spark, n: int, *, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests/benches: payload bytes are a
     seeded function of the id (distributed generation, no driver loop)."""

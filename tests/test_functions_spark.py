@@ -229,6 +229,49 @@ class TestMedia:
         with pytest.raises(Exception, match="codec"):
             extract_features(media, strict=True).collect()
 
+    def test_resize_updates_payload_and_meta(self, spark):
+        from schematic_spark.functions import resize_media
+
+        media = synthetic_media(spark, 30)
+        out = resize_media(media, 64, 32)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert len(rows) == 30  # non-image rows pass through
+        for r in rows.values():
+            assert r["resize_error"] is None
+            if r["kind"] == "image":
+                assert len(r["payload"]) == 64 * 32 // 64
+                assert r["meta"]["width"] == 64
+                assert r["meta"]["height"] == 32
+            else:  # untouched payload and meta
+                assert r["meta"]["width"] is None
+
+    def test_sample_frames_fan_out_and_quarantine(self, spark):
+        from schematic_spark.functions import sample_frames
+
+        media = synthetic_media(spark, 30)
+        n_videos = media.where("kind = 'video'").count()
+        frames = sample_frames(media, 4)
+        rows = frames.collect()
+        ok = [r for r in rows if r["frame_idx"] >= 0]
+        assert len(ok) == n_videos * 4
+        assert all(r["frame"] is not None and len(r["frame"]) >= 1
+                   for r in ok)
+        # deterministic
+        again = sample_frames(synthetic_media(spark, 30), 4).collect()
+        assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame"]))
+                      for r in rows if r["frame_idx"] >= 0) == \
+               sorted((r["media_id"], r["frame_idx"], bytes(r["frame"]))
+                      for r in again if r["frame_idx"] >= 0)
+
+    def test_media_strict_resize_and_frames_raise(self, spark):
+        from schematic_spark.functions import resize_media, sample_frames
+
+        media = synthetic_media(spark, 6)
+        with pytest.raises(Exception, match="codec"):
+            resize_media(media, 8, 8, strict=True).collect()
+        with pytest.raises(Exception, match="codec"):
+            sample_frames(media, 2, strict=True).collect()
+
 
 class TestSimhashRound2:
     def test_vectorized_signatures_pinned(self):
