@@ -661,9 +661,16 @@ def near_duplicate_components(
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates().cache()
-    labels = und.select("src").distinct() \
-                .withColumn("label", F.col("src")) \
-                .localCheckpoint()
+    # initialize with the closed-neighborhood minimum — the identity
+    # initialization's entire first round fused into one hash-agg, so
+    # shallow graphs (the common near-dup case: pairs, triangles)
+    # converge one round earlier
+    labels = (
+        und.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("label"))
+        .localCheckpoint()
+    )
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
     for _ in range(max_iter):
