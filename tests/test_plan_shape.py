@@ -158,3 +158,79 @@ class TestPlanShapeRound3:
         plan = _plan(out)
         assert "Exchange" not in plan, plan
         assert "Python" not in plan, plan
+
+    def test_tagged_union_validation_is_shuffle_free(self, spark):
+        """Kind-tagged union validation (the north-rule span shape) is a
+        row-local projection: no Exchange, no Python UDF."""
+        from pyspark.sql.types import (
+            DoubleType, StringType, StructField, StructType,
+        )
+        from schematic_spark.schema import SNumber, SObject, SText, SUnion
+
+        st = StructType([
+            StructField("doc_id", StringType()),
+            StructField("u", StructType([
+                StructField("kind", StringType()),
+                StructField("text", StringType()),
+                StructField("score", DoubleType()),
+            ])),
+        ])
+        df = spark.createDataFrame(
+            [("a", {"kind": "text", "text": "x", "score": None})], st
+        )
+        spec = SObject((
+            ("doc_id", SText()),
+            ("u", SUnion(
+                (SText(), SNumber()),
+                branch_fields=("text", "score"),
+                tag_field="kind",
+                tags=("text", "score"),
+                validate_branches=True,
+            )),
+        ))
+        res = validate(df, spec)
+        plan = _plan(res.annotated)
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_rollup_expands_before_single_exchange(self, spark):
+        """ROLLUP must expand grouping sets BELOW the partial aggregate,
+        so the one shuffle carries only (expanded key, partial-agg) rows
+        — never raw input rows per grouping set."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["orders_rollup"](spark, SF_DIR)
+        # pre-AQE physical plan: the partial (map-side) HashAggregate
+        # sits DIRECTLY above Expand, so any exchange the planner adds
+        # (none at this 1-partition toy input, one at scale) carries
+        # only (expanded key, partial-agg) rows — never one raw input
+        # row per grouping set
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        assert "Expand" in plan, plan
+        assert plan.count("Exchange") <= 1, plan
+        partial = plan.find("partial_count")
+        expand = plan.find("Expand")
+        assert -1 < partial < expand, plan
+        # nothing between the partial agg and Expand (parents print
+        # before children) except the agg's own output list
+        assert "Exchange" not in plan[partial:expand], plan
+
+    def test_media_udfs_are_arrow_vectorized(self, spark):
+        """Every Python touchpoint in the media path must be an Arrow
+        pandas UDF (ArrowEvalPython) — a row-at-a-time BatchEvalPython
+        in the plan means someone regressed the codec call."""
+        from schematic_spark.functions import (
+            extract_features, media_from_documents, resize_media,
+            sample_frames,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        media = media_from_documents(docs)
+        for out in (
+            extract_features(media),
+            resize_media(media, 64, 32),
+            sample_frames(media, 4),
+        ):
+            plan = _plan(out)
+            assert "BatchEvalPython" not in plan, plan
+            assert "ArrowEvalPython" in plan, plan
