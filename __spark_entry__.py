@@ -1523,10 +1523,12 @@ def oracle_sql() -> dict[str, str]:
                             CAST(0 AS BIGINT)) AS fp_xor
             FROM fp
         """,
-        # resize: images land at exactly 64*32/64=32 bytes, others keep
-        # their utf-8 byte length; frames: 4 uniform slices per video,
-        # total slice bytes = payload bytes when >=4 else 4 (each slice
-        # is forced to at least one byte)
+        # resize: images with a non-empty payload land at exactly
+        # 64*32/64=32 bytes; an EMPTY image payload fails the resize and
+        # the quarantine row keeps its original (0-byte) payload; others
+        # keep their utf-8 byte length; frames: 4 uniform slices per
+        # video, total slice bytes = payload bytes when >=4 else 4
+        # (each slice is forced to at least one byte)
         "media_resize_frames": """
             WITH m AS (
               SELECT CASE WHEN text IS NULL THEN NULL
@@ -1537,8 +1539,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             r AS (
               SELECT kind, CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(CASE WHEN kind = 'image' THEN 32
-                              ELSE blen END) AS BIGINT) AS payload_bytes
+                     CAST(sum(CASE WHEN kind = 'image' AND blen >= 1
+                              THEN 32 ELSE blen END) AS BIGINT)
+                         AS payload_bytes
               FROM m GROUP BY kind),
             f AS (
               SELECT CAST(4 * count(*) AS BIGINT) AS n_frames,

@@ -257,7 +257,11 @@ def resize_media(
     :func:`extract_features`: the codec call is the ONLY thing in
     Python (Arrow scalar pandas_udf over payload+kind), the metadata
     update (``meta.width/height``) is Catalyst ``withField``, failures
-    are quarantine rows (``resize_error``), never job failures."""
+    are quarantine rows (``resize_error`` set, ORIGINAL payload kept so
+    the row can be inspected/retried), never job failures. Non-image
+    payloads never cross the Arrow boundary in either direction: the
+    UDF input is masked to images JVM-side and the UDF returns NULL for
+    everything it didn't resize."""
     resizers = RESIZERS if not strict else {
         k: _strict_resize for k in RESIZERS
     }
@@ -268,27 +272,28 @@ def resize_media(
         out: list = [None] * n
         err: list = [None] * n
         for i in range(n):
-            k = kind.iloc[i]
-            fn = resizers.get(k)
+            fn = resizers.get(kind.iloc[i])
             if fn is None:
-                out[i] = payload.iloc[i]  # pass-through kinds
-                continue
+                continue  # pass-through kinds: JVM keeps the original
             try:
-                out[i] = fn(payload.iloc[i], k, width, height)
+                out[i] = fn(payload.iloc[i], kind.iloc[i], width, height)
             except NotImplementedError:
                 raise
             except Exception as e:
                 err[i] = f"{type(e).__name__}: {e}"
         return pd.DataFrame({"payload": out, "resize_error": err})
 
-    staged = df.withColumn(
-        "_r", _resize(F.col("payload"), F.col("kind"))
-    )
     is_img = F.col("kind") == "image"
+    staged = df.withColumn(
+        "_r", _resize(F.when(is_img, F.col("payload")), F.col("kind"))
+    )
     ok = is_img & F.col("_r")["resize_error"].isNull()
     return (
         staged
-        .withColumn("payload", F.col("_r")["payload"])
+        .withColumn(
+            "payload",
+            F.when(ok, F.col("_r")["payload"]).otherwise(F.col("payload")),
+        )
         .withColumn(
             "meta",
             F.when(ok, F.col("meta")
@@ -331,19 +336,29 @@ def sample_frames(
                 err[i] = f"{type(e).__name__}: {e}"
         return pd.DataFrame({"frames": out, "frame_error": err})
 
+    # ONE pass: a good/bad filter split here would re-inline the UDF
+    # into each subtree (the CLAUDE.md dispatch-by-filter trap — the
+    # plan grows one ArrowEvalPython per branch and every video decodes
+    # N times). Instead the error row is folded into the exploded array
+    # as a single NULL element and mapped to frame_idx -1 afterwards.
     vids = df.where(F.col("kind") == "video").withColumn(
         "_f", _frames(F.col("payload"), F.col("kind"))
     )
-    good = vids.where(F.col("_f")["frame_error"].isNull()).select(
+    exploded = vids.select(
         "media_id",
-        F.posexplode(F.col("_f")["frames"]).alias("frame_idx", "frame"),
+        F.col("_f")["frame_error"].alias("_err"),
+        F.posexplode(F.coalesce(
+            F.when(F.col("_f")["frame_error"].isNull(),
+                   F.col("_f")["frames"]),
+            F.array(F.lit(None).cast("binary")),
+        )).alias("_pos", "frame"),
     )
-    bad = vids.where(F.col("_f")["frame_error"].isNotNull()).select(
+    return exploded.select(
         "media_id",
-        F.lit(-1).alias("frame_idx"),
-        F.lit(None).cast("binary").alias("frame"),
+        F.when(F.col("_err").isNull(), F.col("_pos"))
+         .otherwise(F.lit(-1)).alias("frame_idx"),
+        "frame",
     )
-    return good.unionByName(bad)
 
 
 def synthetic_media(spark, n: int, *, seed: int = 42) -> DataFrame:

@@ -238,19 +238,35 @@ def shared_passage_pairs(
     documents are DROPPED before joining (same mitigation as the
     MinHash bucket cap: a passage that common is template noise, not
     plagiarism signal). ``None`` disables the cap."""
+    # explode_OUTER, then drop the null rows: a plain explode makes the
+    # optimizer infer `size(fingerprints) > 0` and predicate pushdown
+    # re-expands the whole fingerprint HOF tree into that Filter
+    # (CLAUDE.md trap) — the filter then re-runs the O(len·window)
+    # chain per row with the k-gram array re-inlined per window
+    # position, i.e. O(len²) regex+md5 evals per document. The
+    # post-Generate isNotNull filter cannot be pushed below the
+    # Generate, so the fingerprint projection evaluates exactly once.
     fps = winnow_fingerprints(
         df, text_col, k=k, window=window
     ).select(
-        F.col(id_col), F.explode("fingerprints").alias("fp")
-    )
+        F.col(id_col), F.explode_outer("fingerprints").alias("fp")
+    ).where(F.col("fp").isNotNull())
     if max_fp_group is not None:
-        hot = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > max_fp_group)
-            .select("fp")
+        # group-size cap as a window count over the SAME fp shuffle the
+        # self-join needs — NOT a groupBy(fp)+anti-join, which would
+        # re-run the per-document fingerprinting (the expensive md5 HOF
+        # chain) a second time for the aggregate's partial pass. Here
+        # the fingerprint computation sits below the single Exchange:
+        # one pass, and the join reuses the partitioning.
+        from pyspark.sql import Window
+
+        fps = (
+            fps.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .where(F.col("_n") <= max_fp_group)
+            .drop("_n")
         )
-        fps = fps.join(hot, "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

@@ -319,14 +319,27 @@ def validate_json_strings(
 
     # structural-parse layer: raw token present but typed slot NULL =
     # type failure at that field — the reference's "expected <Kind>"
-    # DecodingError (interpret.py:101-126). Union-typed fields are
-    # excluded: the union machinery's no-match error owns that case.
-    from ..compiler import _kind_label
+    # DecodingError (interpret.py:101-126). Union-typed fields where
+    # the compiler's no-match machinery can fire are excluded (it owns
+    # that case); a branch_fields union with an SNull alternative is
+    # the exception — there _union_matched is constant-true (an all-null
+    # struct IS the SNull match), so a wrong-kind raw value that
+    # from_json nulls out would otherwise validate as a false Valid.
+    # The raw token disambiguates: non-null token + null struct slot =
+    # the value matched no alternative.
+    from ..compiler import UNION_NO_MATCH, _kind_label, _union_no_match_possible
 
     mismatch_cells = []
     for name, fs in data_fields:
         target = fs.inner if isinstance(fs, SOptional) else fs
         if isinstance(target, SUnion):
+            if _union_no_match_possible(target):
+                continue
+            mismatch_cells.append(F.when(
+                F.col("_doc")[name].isNull()
+                & F.col(f"_raw__{name}").isNotNull(),
+                _cell(f".{name}", UNION_NO_MATCH),
+            ))
             continue
         mismatch_cells.append(F.when(
             F.col("_doc")[name].isNull()

@@ -64,11 +64,15 @@ def validate_stream(df: DataFrame, spec) -> DataFrame:
 
 
 def streaming_violations(df: DataFrame, *id_cols: str) -> DataFrame:
-    """Exploded violation rows from an annotated stream."""
-    v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+    """Exploded violation rows from an annotated stream.
+
+    Same pushdown-trap avoidance as ``ValidationResult.violations``:
+    explode_outer + post-Generate null filter, so the violations tree
+    is never re-inlined into a pre-Generate Filter."""
+    v = F.explode_outer(F.col(VIOLATIONS_COL)).alias("v")
     return (
-        df.where(F.size(VIOLATIONS_COL) > 0)
-        .select(*[F.col(c) for c in id_cols], v)
+        df.select(*[F.col(c) for c in id_cols], v)
+        .where(F.col("v").isNotNull())
         .select(
             *id_cols,
             F.col("v.path").alias("json_path"),

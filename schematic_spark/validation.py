@@ -69,12 +69,20 @@ class ValidationResult:
 
     def violations(self, *id_cols: str) -> DataFrame:
         """Exploded violation rows ``(…id_cols, json_path, error)`` —
-        constraint layer only (the ErrorMap, Validation.hs:26-28)."""
-        v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+        constraint layer only (the ErrorMap, Validation.hs:26-28).
+
+        explode_OUTER + a post-Generate null filter, NOT a
+        ``size(...) > 0`` pre-filter: predicate pushdown would inline
+        the entire compiled violations tree into that Filter below the
+        projections (CLAUDE.md pushdown trap), re-evaluating the whole
+        validation per row a second time. The isNotNull filter sits on
+        the Generate's OUTPUT and cannot be pushed below it, so the
+        violations array is computed exactly once per row."""
+        v = F.explode_outer(F.col(VIOLATIONS_COL)).alias("v")
         return (
             self.annotated
-            .where(F.size(VIOLATIONS_COL) > 0)
             .select(*[F.col(c) for c in id_cols], v)
+            .where(F.col("v").isNotNull())
             .select(
                 *id_cols,
                 F.col("v.path").alias("json_path"),
@@ -83,11 +91,11 @@ class ValidationResult:
         )
 
     def structural_errors(self, *id_cols: str) -> DataFrame:
-        v = F.explode(F.col(STRUCTURAL_COL)).alias("v")
+        v = F.explode_outer(F.col(STRUCTURAL_COL)).alias("v")
         return (
             self.annotated
-            .where(F.size(STRUCTURAL_COL) > 0)
             .select(*[F.col(c) for c in id_cols], v)
+            .where(F.col("v").isNotNull())
             .select(
                 *id_cols,
                 F.col("v.path").alias("json_path"),

@@ -478,3 +478,27 @@ class TestWinnowing:
         }
         assert ("a", "b") in pairs  # copied passage found despite edits
         assert all(k == ("a", "b") for k in pairs)  # no false pairs
+
+
+def test_resize_quarantine_keeps_original_payload(spark):
+    """A failed resize (empty image payload) must set resize_error and
+    KEEP the source payload — nulling it would make the quarantine row
+    uninspectable/unretryable."""
+    from schematic_spark.functions import resize_media
+
+    df = spark.createDataFrame(
+        [("m1", "image", b""), ("m2", "image", b"\x01\x02\x03\x04"),
+         ("m3", "audio", b"\x09\x08")],
+        "media_id string, kind string, payload binary",
+    ).withColumn(
+        "meta",
+        F.struct(F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height")),
+    )
+    rows = {r["media_id"]: r for r in resize_media(df, 64, 32).collect()}
+    assert rows["m1"]["resize_error"] is not None
+    assert bytes(rows["m1"]["payload"]) == b""          # original kept
+    assert rows["m2"]["resize_error"] is None
+    assert len(rows["m2"]["payload"]) == 32
+    assert rows["m3"]["resize_error"] is None
+    assert bytes(rows["m3"]["payload"]) == b"\x09\x08"  # pass-through

@@ -505,3 +505,38 @@ def test_raw_json_type_mismatch_is_field_level(spark):
     assert got["missing"] == ("DecodingError", 'No text field: "name"')
     assert got["syntax"] == ("DecodingError", "malformed json")
     assert got["top_scalar"] == ("DecodingError", "malformed json")
+
+
+def test_raw_json_named_snull_union_rejects_wrong_kind(spark):
+    """A branch_fields union with an SNull alternative has
+    _union_matched ≡ true (the all-null struct IS the SNull match), so
+    the typed layer alone cannot see a wrong-kind raw value that
+    from_json nulled out — the ingest layer must turn (raw token
+    present, struct slot null) into the no-match DecodingError instead
+    of a silent false Valid."""
+    from schematic_spark.sources.json_ingest import validate_json_strings
+
+    spec = SObject((
+        ("doc_id", SText()),
+        ("u", SUnion((SText(), SNull()), branch_fields=("s", "n"))),
+    ))
+    rows = [
+        ("ok_text", '{"doc_id":"a","u":{"s":"x"}}'),
+        ("ok_null", '{"doc_id":"b","u":null}'),
+        ("ok_missing", '{"doc_id":"c"}'),
+        ("wrong_scalar", '{"doc_id":"d","u":5}'),
+        ("wrong_array", '{"doc_id":"e","u":[1]}'),
+    ]
+    df = spark.createDataFrame(rows, "k string, raw string")
+    res = validate_json_strings(df, "raw", spec)
+    got = {
+        r["k"]: (r["_verdict"], r["_decoding_error"])
+        for r in res.annotated.collect()
+    }
+    assert got["ok_text"] == ("Valid", None)
+    # literal null / absent field are the SNull match (typed-table
+    # parity: an all-null branch struct validates as the null branch)
+    assert got["ok_null"] == ("Valid", None)
+    assert got["ok_missing"] == ("Valid", None)
+    for k in ("wrong_scalar", "wrong_array"):
+        assert got[k] == ("DecodingError", "empty union"), (k, got[k])
