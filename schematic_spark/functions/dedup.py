@@ -674,13 +674,18 @@ def near_duplicate_components(
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
     for _ in range(max_iter):
-        # candidate label for dst = neighbor src's current label
+        # candidate label for dst = neighbor src's current label.
+        # Cached: the hop self-join below consumes cand TWICE (probe +
+        # hop side); uncached, the edge-join + hash-agg would execute
+        # twice per round. The cache materializes inside the round's
+        # single checkpoint job and is dropped before the next round.
         cand = (
             und.join(labels, "src")
             .select(F.col("dst").alias("src"), "label")
             .unionByName(labels)
             .groupBy("src")
             .agg(F.min("label").alias("new_label"))
+            .cache()
         )
         # pointer doubling: label := label's label. Labels are always
         # node ids and cand covers every node, so the hop join always
@@ -699,6 +704,7 @@ def near_duplicate_components(
             )
         )
         merged = labels.join(doubled, "src").localCheckpoint()
+        cand.unpersist()  # checkpoint is eager — cand fully consumed
         n_changed = merged.where(
             F.col("new_label") != F.col("label")
         ).count()

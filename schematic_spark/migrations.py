@@ -405,10 +405,11 @@ def validate_versioned_json_strings(
     from pyspark.sql.types import StructField, StructType
 
     from .compiler import spark_type_for
-    from .schema.ast import SNull, SOptional, SUnion
+    from .schema.ast import SNull
     from .sources.json_ingest import (
-        _raw_union_col,
         check_raw_union_support,
+        is_variant_union,
+        variant_union_carrier,
         with_raw_tokens,
     )
     from .validation import compile_verdict_columns
@@ -417,16 +418,12 @@ def validate_versioned_json_strings(
     top_rev = versions[0][0]
     passthrough = [c for c in df.columns if c != json_col]
 
-    def _is_variant_union(fs) -> bool:
-        t = fs.inner if isinstance(fs, SOptional) else fs
-        return isinstance(t, SUnion) and t.branch_fields is None
-
     def _split(schema):
         nulls, vunions, data = [], [], []
         for n, fs in schema.fields:
             if isinstance(fs, SNull):
                 nulls.append(n)
-            elif _is_variant_union(fs):
+            elif is_variant_union(fs):
                 vunions.append((n, fs))
             else:
                 data.append((n, fs))
@@ -499,15 +496,9 @@ def validate_versioned_json_strings(
             key = (n, fs)
             if key in union_col_names:
                 continue
-            union = fs.inner if isinstance(fs, SOptional) else fs
-            carrier = _raw_union_col(
-                F.col("_variant"), F.col(f"_kind__{n}"), n, union
+            carrier = variant_union_carrier(
+                F.col("_variant"), F.col(f"_kind__{n}"), n, fs
             )
-            if isinstance(fs, SOptional):
-                kind = F.col(f"_kind__{n}")
-                carrier = F.when(
-                    kind.isNotNull() & (kind != "VOID"), carrier
-                )
             cname = f"_u__{len(union_col_names)}"
             marked = marked.withColumn(cname, carrier)
             union_col_names[key] = cname

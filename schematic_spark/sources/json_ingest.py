@@ -214,6 +214,30 @@ def _raw_union_col(variant_col, kind_col, name: str, union: SUnion):
     return F.struct(*alts)
 
 
+def is_variant_union(fs) -> bool:
+    """True for fields that must decode via the variant kind dispatch:
+    a default-encoding (no ``branch_fields``) union, possibly
+    Optional-wrapped. Named/tagged unions ride ``from_json``."""
+    t = fs.inner if isinstance(fs, SOptional) else fs
+    return isinstance(t, SUnion) and t.branch_fields is None
+
+
+def variant_union_carrier(variant_col, kind_col, name: str, fs):
+    """The ``alt_i`` struct carrier for one variant-decoded union
+    field, including the SOptional wrap (missing key → kind NULL,
+    explicit null → VOID; both become None). The ONE place the subtle
+    kind-dispatch leniencies live — shared by ``validate_json_strings``
+    and ``migrations.validate_versioned_json_strings`` so a fix in one
+    path cannot silently miss the other."""
+    union = fs.inner if isinstance(fs, SOptional) else fs
+    carrier = _raw_union_col(variant_col, kind_col, name, union)
+    if isinstance(fs, SOptional):
+        carrier = F.when(
+            kind_col.isNotNull() & (kind_col != "VOID"), carrier
+        )
+    return carrier
+
+
 def validate_json_strings(
     df: DataFrame, json_col: str, spec, *, keep_raw: bool = False
 ) -> ValidationResult:
@@ -226,20 +250,16 @@ def validate_json_strings(
         raise TypeError("top-level spec must be an object")
     check_raw_union_support(schema)
 
-    def _is_variant_union(fs) -> bool:
-        t = fs.inner if isinstance(fs, SOptional) else fs
-        return isinstance(t, SUnion) and t.branch_fields is None
-
     # required-SNull fields carry no data — parse every OTHER field,
     # and check SNull fields straight off the raw JSON (presence + kind);
     # default-encoding unions decode via the variant kind dispatch
     null_fields = [n for n, fs in schema.fields if isinstance(fs, SNull)]
     variant_unions = [
-        (n, fs) for n, fs in schema.fields if _is_variant_union(fs)
+        (n, fs) for n, fs in schema.fields if is_variant_union(fs)
     ]
     data_fields = [
         (n, fs) for n, fs in schema.fields
-        if not isinstance(fs, SNull) and not _is_variant_union(fs)
+        if not isinstance(fs, SNull) and not is_variant_union(fs)
     ]
     st = StructType([
         StructField(n, spark_type_for(fs), True) for n, fs in data_fields
@@ -275,17 +295,9 @@ def validate_json_strings(
                 )),
             )
         for name, fs in variant_unions:
-            union = fs.inner if isinstance(fs, SOptional) else fs
-            carrier = _raw_union_col(
-                F.col("_variant"), F.col(f"_kind__{name}"), name, union
-            )
-            if isinstance(fs, SOptional):
-                # missing key (kind NULL) or explicit null (VOID) → None
-                kind = F.col(f"_kind__{name}")
-                carrier = F.when(
-                    kind.isNotNull() & (kind != "VOID"), carrier
-                )
-            union_cols.append(carrier.alias(name))
+            union_cols.append(variant_union_carrier(
+                F.col("_variant"), F.col(f"_kind__{name}"), name, fs
+            ).alias(name))
     flat_cols = [
         F.col("_doc")[name].alias(name) for name, _ in data_fields
     ] + union_cols + [
