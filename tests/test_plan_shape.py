@@ -237,3 +237,37 @@ class TestPlanShapeRound3:
             # filter-split re-inlined the UDF and every payload
             # decodes more than once
             assert plan.count("ArrowEvalPython") == 1, plan
+
+    def test_violations_accessor_single_tree_evaluation(self, spark):
+        """The violations explode must not let the optimizer infer a
+        size(...)>0 filter and push it below the projections — that
+        re-inlines the entire compiled violations tree into the Filter
+        and evaluates the validation twice per row (or worse for HOF
+        chains)."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        res = validate(docs, SPEC)
+        out = res.violations("doc_id")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        filters_with_tree = [
+            ln for ln in plan.splitlines()
+            if "Filter" in ln and ("rlike" in ln or "length(" in ln)
+        ]
+        assert not filters_with_tree, plan
+
+    def test_shared_passage_pairs_single_fingerprint_pass(self, spark):
+        """The fingerprint HOF chain (regex normalize + per-gram md5)
+        must appear below the Generate exactly once: neither an
+        inferred size()>0 Filter nor the hot-group cap may re-expand
+        it (the O(len^2)-per-document pushdown trap)."""
+        from schematic_spark.functions import shared_passage_pairs
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = shared_passage_pairs(docs)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert not any(
+            "Filter" in ln and "md5" in ln for ln in plan.splitlines()
+        ), plan
+        # one fingerprinting projection per join side at most — the
+        # md5 gram-hash lambda must not be duplicated beyond the
+        # self-join's two identical subtrees
+        assert plan.count("md5") <= 2, plan
