@@ -670,6 +670,23 @@ def _q_winnow_fingerprints_documents(spark, sf_dir):
     )
 
 
+def _q_shared_passages_documents(spark, sf_dir):
+    """Copied-passage discovery over winnowing fingerprints: documents
+    sharing ≥3 of the k=16/window=8 MOSS fingerprints, with the
+    degenerate-fingerprint cap at 100 docs (template noise dropped
+    before the self-join — the same blowup mitigation as the MinHash
+    bucket cap). The oracle recomputes the exact fingerprint sets in
+    SQL (same md5-15-hex arithmetic as the winnow oracle), applies the
+    identical cap via a window count, and re-derives every pair."""
+    from schematic_spark.functions import shared_passage_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return shared_passage_pairs(
+        docs, "text", "doc_id",
+        k=16, window=8, min_shared=3, max_fp_group=100,
+    )
+
+
 def _q_validate_json_documents(spark, sf_dir):
     """Raw-JSON entry point #1 — decodeAndValidateJson
     (/root/reference/src/Data/Schematic.hs:78-85). A JSON string column
@@ -810,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tagged_union_spans": _q_tagged_union_spans,
         "orders_rollup": _q_orders_rollup,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
+        "shared_passages_documents": _q_shared_passages_documents,
         "media_resize_frames": _q_media_resize_frames,
     }
 
@@ -1522,6 +1540,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_aggregate(fps, 'bit_xor'),
                             CAST(0 AS BIGINT)) AS fp_xor
             FROM fp
+        """,
+        # copied-passage pairs: identical winnow arithmetic at
+        # k=16/window=8, hot-fingerprint cap as a window count over the
+        # exploded (doc, fp) rows, then the self-join pair counts
+        "shared_passages_documents": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     coalesce(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^\w\s]', '', 'g'),
+                       '\s+', ' ', 'g')), '') AS norm
+              FROM documents),
+            kh AS (
+              SELECT doc_id, [
+                  list_sum([
+                    (CAST(strpos('0123456789abcdef', substring(
+                       md5(substring(norm, i, 16)), p, 1)) - 1 AS BIGINT)
+                     << ((15 - p) * 4))
+                    for p in generate_series(1, 15)])
+                  for i in generate_series(1,
+                    greatest(length(norm) - 15, 0))] AS kh
+              FROM n),
+            fp AS (
+              SELECT doc_id,
+                CASE
+                  WHEN len(kh) >= 8 THEN list_distinct([
+                    list_min(kh[j:j+7])
+                    for j in generate_series(1, len(kh) - 7)])
+                  WHEN len(kh) > 0 THEN [list_min(kh)]
+                  ELSE [] END AS fps
+              FROM kh),
+            ex AS (
+              SELECT doc_id, unnest(fps) AS fpv FROM fp),
+            kept AS (
+              SELECT doc_id, fpv FROM ex
+              QUALIFY count(*) OVER (PARTITION BY fpv) <= 100)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         # resize: images with a non-empty payload land at exactly
         # 64*32/64=32 bytes; an EMPTY image payload fails the resize and
