@@ -86,6 +86,19 @@ class ParseResult:
 _MISSING = object()
 
 
+@dataclass
+class _UnionMatch:
+    """Committed branch of a named/tagged union parse — carries WHICH
+    alternative matched so branch validation (validate_parsed) checks
+    the branch the encoding committed to, exactly like the Catalyst
+    compiler's tag/branch cascade, instead of re-dispatching on the
+    payload's Python kind (which mis-commits when two branches share a
+    kind, e.g. two SText branches under different tags)."""
+
+    index: int
+    payload: Any
+
+
 def structural_parse(schema: Schema, value: Any, path: tuple = ()) -> Any:
     """Schema-directed structural check. Returns the (normalized) value or
     raises :class:`DecodingError`. Missing keys in optional positions
@@ -94,6 +107,53 @@ def structural_parse(schema: Schema, value: Any, path: tuple = ()) -> Any:
         if value is _MISSING or value is None:
             return None
         return structural_parse(schema.inner, value, path)
+    if isinstance(schema, SUnion) and schema.tag_field is not None:
+        # kind-tagged encoding (engine extension, compiler parity
+        # compiler.py:_union_structural): the tag COMMITS the branch;
+        # unknown/missing tag or a non-object value = no-match; a
+        # committed branch with a missing/null payload is the
+        # missing-field DecodingError at the union's path.
+        if not isinstance(value, dict):
+            raise DecodingError("empty union", render_path(path))
+        tag = value.get(schema.tag_field)
+        for i, alt in enumerate(schema.alternatives):
+            if tag != schema.tag_value(i):
+                continue
+            if isinstance(alt, SNull):
+                return _UnionMatch(i, None)
+            payload = value.get(schema.branch_field(i))
+            if payload is None:
+                raise DecodingError(
+                    missing_field_message(schema.branch_field(i), alt),
+                    render_path(path),
+                )
+            return _UnionMatch(i, structural_parse(alt, payload, path))
+        raise DecodingError("empty union", render_path(path))
+    if isinstance(schema, SUnion) and schema.branch_fields is not None:
+        # named-field encoding: an object carrying one branch key;
+        # leftmost non-null branch wins (compiler cascade order). The
+        # all-null cases (absent field / literal null / empty object)
+        # are the SNull match when an SNull alternative exists —
+        # typed-table parity (an all-null branch struct IS the null
+        # branch) — and no-match otherwise.
+        snull_idx = next(
+            (i for i, a in enumerate(schema.alternatives)
+             if isinstance(a, SNull)), None,
+        )
+        if isinstance(value, dict):
+            for i, alt in enumerate(schema.alternatives):
+                if isinstance(alt, SNull):
+                    continue
+                payload = value.get(schema.branch_field(i))
+                if payload is not None:
+                    return _UnionMatch(
+                        i, structural_parse(alt, payload, path)
+                    )
+        elif (value is None or value is _MISSING) and snull_idx is not None:
+            return _UnionMatch(snull_idx, None)
+        if isinstance(value, dict) and snull_idx is not None:
+            return _UnionMatch(snull_idx, None)
+        raise DecodingError("empty union", render_path(path))
     if value is _MISSING:
         raise DecodingError("missing value", render_path(path))
     if isinstance(schema, SText):
@@ -260,15 +320,25 @@ def validate_parsed(
         # globally (validate_unions) or per-node (SUnion.validate_branches,
         # the flag the Catalyst compiler honours):
         if validate_unions or schema.validate_branches:
-            for alt in schema.alternatives:
-                try:
-                    parsed = structural_parse(alt, value, path)
-                except DecodingError:
-                    continue
-                validate_parsed(
-                    alt, parsed, path, out, validate_unions=True
-                )
-                break
+            if isinstance(value, _UnionMatch):
+                # named/tagged parse committed a branch — validate THAT
+                # branch (compiler parity), never re-dispatch by kind
+                alt = schema.alternatives[value.index]
+                if not isinstance(alt, SNull) and value.payload is not None:
+                    validate_parsed(
+                        alt, value.payload, path, out,
+                        validate_unions=True,
+                    )
+            else:
+                for alt in schema.alternatives:
+                    try:
+                        parsed = structural_parse(alt, value, path)
+                    except DecodingError:
+                        continue
+                    validate_parsed(
+                        alt, parsed, path, out, validate_unions=True
+                    )
+                    break
     else:
         raise TypeError(f"unknown schema node {schema!r}")
     return out

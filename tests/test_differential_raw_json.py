@@ -149,3 +149,116 @@ def test_raw_json_matches_interpreter(spark, seed):
             assert expect.decoding_error in msgs, (
                 i, raw, expect.decoding_error, msgs,
             )
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_raw_json_union_encodings_match_interpreter(spark, seed):
+    """Named-field and kind-tagged unions over raw JSON (the encodings
+    where round-3's false-Valid bug lived): fuzz the full semantics
+    matrix — committed branches with constraint-violating payloads,
+    unknown tags, missing payloads, wrong-kind union values, explicit
+    null / absent / empty-object against an SNull alternative — and
+    require verdict + violation-set + first-structural-message parity
+    with the pure interpreter. Branch payloads are always
+    kind-correct (the documented number→text coercion leniency)."""
+    from schematic_spark.schema.ast import (
+        NGt, SNumber, SText, SUnion, TGe, TGt,
+    )
+
+    rng = random.Random(seed)
+    named = SUnion(
+        (SText((TGe(2),)), SNumber((NGt(0),)), SNull()),
+        branch_fields=("s", "n", "z"),
+        validate_branches=True,
+    )
+    tagged = SUnion(
+        # two same-kind branches: only the committed tag's constraints
+        # may fire (kind re-dispatch would mis-commit)
+        (SText((TGt(3),)), SText((TGe(1),))),
+        branch_fields=("long", "short"),
+        tag_field="kind",
+        tags=("L", "S"),
+        validate_branches=True,
+    )
+    schema = SObject((
+        ("rid", SText()),
+        ("nu", named),
+        ("tu", tagged),
+    ))
+
+    def _named_value():
+        r = rng.randrange(8)
+        if r == 0:
+            return {"s": rng.choice(["", "a", "bb", "hello"])}
+        if r == 1:
+            return {"n": float(rng.randint(-3, 5))}
+        if r == 2:
+            return None                       # SNull match
+        if r == 3:
+            return MISSING                    # absent — SNull match
+        if r == 4:
+            return {}                         # all-null — SNull match
+        if r == 5:
+            return rng.choice([5, True, [1], "zz"])  # wrong kind
+        if r == 6:
+            return {"s": None, "n": float(rng.randint(-3, 5))}
+        return {"s": rng.choice(["a", "xyzzy"]),
+                "n": float(rng.randint(-3, 5))}  # both: leftmost wins
+
+    def _tagged_value():
+        r = rng.randrange(8)
+        if r == 0:
+            return {"kind": "L", "long": rng.choice(["ab", "abcd", "x"])}
+        if r == 1:
+            return {"kind": "S", "short": rng.choice(["", "q", "qqqq"])}
+        if r == 2:
+            return {"kind": "wat"}            # unknown tag
+        if r == 3:
+            return {"kind": "L"}              # committed, no payload
+        if r == 4:
+            return MISSING                    # absent → no-match
+        if r == 5:
+            return None                       # null → no-match
+        if r == 6:
+            return rng.choice([7, "x", [2]])  # wrong kind
+        return {"kind": "S", "short": "ok", "long": "ignored"}
+
+    rows, expects = [], {}
+    for i in range(60):
+        doc = {"rid": f"r{i}"}
+        nv, tv = _named_value(), _tagged_value()
+        if nv is not MISSING:
+            doc["nu"] = nv
+        if tv is not MISSING:
+            doc["tu"] = tv
+        expects[i] = parse_and_validate(schema, doc)
+        rows.append((i, json.dumps(doc)))
+
+    df = spark.createDataFrame(rows, "row_id int, raw string")
+    res = validate_json_strings(df, "raw", schema)
+    got = {
+        r["row_id"]: r
+        for r in res.annotated.select(
+            "row_id", "_verdict", "_violations", "_structural",
+            "_decoding_error",
+        ).collect()
+    }
+    for i, raw in rows:
+        g, expect = got[i], expects[i]
+        assert g["_verdict"] == expect.verdict, (
+            i, raw, g["_verdict"], expect.verdict,
+            [(x["path"], x["error"]) for x in g["_structural"]],
+            expect.decoding_error, expect.violations,
+        )
+        if expect.verdict == "ValidationError":
+            spark_viols = sorted(
+                (x["path"], x["error"]) for x in g["_violations"]
+            )
+            assert spark_viols == sorted(expect.violations), (
+                i, raw, spark_viols, expect.violations,
+            )
+        if expect.verdict == "DecodingError":
+            msgs = {x["error"] for x in g["_structural"]}
+            assert expect.decoding_error in msgs, (
+                i, raw, expect.decoding_error, msgs,
+            )
