@@ -281,6 +281,24 @@ def _q_ks_drift_events(spark, sf_dir):
     )
 
 
+def _q_psi_drift_event_types(spark, sf_dir):
+    """Population Stability Index drift (event_type, even vs odd
+    halves) — the third drift statistic next to KS (numeric shape) and
+    chi-square (significance); one groupBy(category, parity) scan,
+    Laplace 0.5 smoothing over the category union, mirrored exactly in
+    SQL."""
+    from schematic_spark.suite import psi_drift_split
+
+    ev = _read(spark, sf_dir, "events")
+    rep = psi_drift_split(
+        ev, "event_type", F.col("event_id") % 2 == 0,
+    )
+    return spark.createDataFrame(
+        [(round(rep.statistic, 6), rep.detail["n_categories"])],
+        "psi_stat double, n_categories int",
+    )
+
+
 def _q_chi2_drift_event_types(spark, sf_dir):
     """Categorical chi-square drift (event_type, even vs odd halves) —
     one groupBy(category, parity) scan; Haldane 0.5 pseudo-count for
@@ -809,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups_documents": _q_exact_dup_groups_documents,
         "ks_drift_events": _q_ks_drift_events,
         "chi2_drift_event_types": _q_chi2_drift_event_types,
+        "psi_drift_event_types": _q_psi_drift_event_types,
         "quality_score_documents": _q_quality_score_documents,
         "versioned_dispatch_documents": _q_versioned_dispatch_documents,
         "events_value_percentiles": _q_events_value_percentiles,
@@ -1107,6 +1126,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # chi2 with Haldane 0.5 pseudo-count for categories absent from
         # the baseline half (chi_square_from_counts, suite/drift.py)
+        "psi_drift_event_types": """
+            WITH t AS (
+              SELECT coalesce(event_type, '__null__') AS cat,
+                     sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS c,
+                     sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS b
+              FROM events GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n1,
+                           CAST(sum(b) AS DOUBLE) AS n2,
+                           CAST(count(*) AS DOUBLE) AS k FROM t)
+            SELECT round(sum(
+                     ((c + 0.5) / (n1 + 0.5 * k)
+                      - (b + 0.5) / (n2 + 0.5 * k))
+                     * ln(((c + 0.5) / (n1 + 0.5 * k))
+                          / ((b + 0.5) / (n2 + 0.5 * k)))), 6)
+                     AS psi_stat,
+                   CAST(count(*) AS INT) AS n_categories
+            FROM t, tot
+        """,
         "chi2_drift_event_types": """
             WITH t AS (
               SELECT coalesce(event_type, '__null__') AS cat,

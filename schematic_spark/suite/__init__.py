@@ -9,6 +9,9 @@ from .drift import (  # noqa: F401
     ks_drift_split,
     ks_from_histograms,
     numeric_histogram,
+    psi_drift,
+    psi_drift_split,
+    psi_from_counts,
 )
 from .referential import dangling_rows, referential_report  # noqa: F401
 from .stats import column_stats, length_histogram  # noqa: F401

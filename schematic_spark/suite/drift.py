@@ -315,3 +315,87 @@ def chi2_drift(
         kind="chi2", statistic=stat, p_value=p, drifted=p < alpha,
         detail={"dof": dof, "n_categories": len(set(obs) | set(base))},
     )
+
+
+def psi_from_counts(
+    current: dict, baseline: dict, *, smooth: float = 0.5
+) -> float:
+    """Population Stability Index over two category→count maps:
+    Σ (p_cur − p_base) · ln(p_cur / p_base). Laplace smoothing
+    (``smooth`` added to every cell over the category UNION) keeps
+    empty cells finite and is mirrored exactly by the SQL oracle.
+    Conventional reading: < 0.1 stable, 0.1–0.25 moderate shift,
+    ≥ 0.25 drifted."""
+    cats = sorted(set(current) | set(baseline))
+    k = len(cats)
+    n1 = sum(current.values())
+    n2 = sum(baseline.values())
+    if n1 == 0 or n2 == 0 or k == 0:
+        raise ValueError("empty histogram")
+    psi = 0.0
+    for c in cats:
+        pc = (current.get(c, 0) + smooth) / (n1 + smooth * k)
+        pb = (baseline.get(c, 0) + smooth) / (n2 + smooth * k)
+        psi += (pc - pb) * math.log(pc / pb)
+    return psi
+
+
+def psi_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    threshold: float = 0.25,
+) -> DriftReport:
+    """Categorical PSI drift between two snapshots — the standard ML
+    monitoring statistic alongside KS (numeric shape) and chi-square
+    (significance). Two bucketed hash-aggs + a ≤|categories|-row
+    driver statistic; PSI has no p-value (NaN) — ``drifted`` is the
+    conventional threshold test."""
+    cur = {
+        r["category"]: r["n"]
+        for r in category_counts(current, column).collect()
+    }
+    base = {
+        r["category"]: r["n"]
+        for r in category_counts(baseline, column).collect()
+    }
+    stat = psi_from_counts(cur, base)
+    return DriftReport(
+        kind="psi", statistic=stat, p_value=float("nan"),
+        drifted=stat >= threshold,
+        detail={"n_categories": len(set(cur) | set(base)),
+                "threshold": threshold},
+    )
+
+
+def psi_drift_split(
+    df: DataFrame,
+    column: str,
+    is_current,
+    *,
+    threshold: float = 0.25,
+) -> DriftReport:
+    """PSI over a boolean split of one table — one scan, one
+    ``groupBy(category, split)`` hash-agg (same shape as
+    :func:`chi2_drift_split`)."""
+    rows = (
+        df.where(is_current.isNotNull())
+        .select(
+            F.coalesce(F.col(column).cast("string"), F.lit("__null__"))
+             .alias("category"),
+            is_current.alias("_cur"),
+        )
+        .groupBy("category", "_cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cur = {r["category"]: r["n"] for r in rows if r["_cur"]}
+    base = {r["category"]: r["n"] for r in rows if not r["_cur"]}
+    stat = psi_from_counts(cur, base)
+    return DriftReport(
+        kind="psi", statistic=stat, p_value=float("nan"),
+        drifted=stat >= threshold,
+        detail={"n_categories": len(set(cur) | set(base)),
+                "threshold": threshold},
+    )

@@ -262,3 +262,54 @@ class TestSpanOrder:
             if any(b <= a for a, b in zip(offs, offs[1:])):
                 truth += 1
         assert got == truth > 0
+
+
+class TestPsiDrift:
+    def test_psi_from_counts_hand_value(self):
+        import math
+
+        from schematic_spark.suite import psi_from_counts
+
+        cur, base = {"a": 30, "b": 70}, {"a": 50, "b": 50}
+        pa_c, pa_b = 30.5 / 101, 50.5 / 101
+        pb_c, pb_b = 70.5 / 101, 50.5 / 101
+        want = (pa_c - pa_b) * math.log(pa_c / pa_b) \
+            + (pb_c - pb_b) * math.log(pb_c / pb_b)
+        assert abs(psi_from_counts(cur, base) - want) < 1e-12
+        assert psi_from_counts(cur, cur) == 0.0
+        # a category absent from one side stays finite via smoothing
+        assert psi_from_counts({"a": 100}, {"b": 100}) > 1.0
+
+    def test_psi_split_matches_two_frame(self, spark):
+        from schematic_spark.suite import psi_drift, psi_drift_split
+
+        df = spark.range(4000).select(
+            F.col("id"),
+            F.when(F.pmod(F.col("id"), 11) < F.pmod(F.col("id"), 4), "x")
+             .when(F.pmod(F.col("id"), 3) == 0, "y")
+             .otherwise("z").alias("c"),
+        )
+        split = psi_drift_split(df, "c", F.col("id") % 2 == 0)
+        two = psi_drift(
+            df.where(F.col("id") % 2 == 0),
+            df.where(F.col("id") % 2 == 1),
+            "c",
+        )
+        assert abs(split.statistic - two.statistic) < 1e-12
+        assert split.kind == "psi"
+        # same distribution on both halves except sampling noise → stable
+        assert not split.drifted
+
+    def test_psi_detects_shift(self, spark):
+        from schematic_spark.suite import psi_drift
+
+        base = spark.range(2000).select(
+            F.when(F.pmod(F.col("id"), 10) < 5, "a").otherwise("b")
+            .alias("c"),
+        )
+        skewed = spark.range(2000).select(
+            F.when(F.pmod(F.col("id"), 10) < 9, "a").otherwise("b")
+            .alias("c"),
+        )
+        assert psi_drift(skewed, base, "c").drifted
+        assert not psi_drift(base, base, "c").drifted
