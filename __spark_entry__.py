@@ -805,6 +805,124 @@ def _q_versioned_json_documents(spark, sf_dir):
     return u.crossJoin(r)
 
 
+def _q_sessionized_events(spark, sf_dir):
+    """Gap-based sessionization (suite/sessions.py): 24 h inactivity gap
+    per user, exact value sums in integer cents, timestamps as
+    unix-micros. ONE shuffle (window + groupBy share the user_id
+    exchange)."""
+    from schematic_spark.suite import session_stats
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+    sess = session_stats(
+        ev, gap_seconds=86400, tiebreak_col="event_id", value_col="value_c"
+    )
+    from schematic_spark.functions.timeops import epoch_micros
+
+    return sess.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        epoch_micros(
+            F.col("ts_start"), sess.schema["ts_start"].dataType
+        ).alias("start_us"),
+        "duration_us",
+        F.col("total_value").alias("total_value_c"),
+    )
+
+
+def _q_purchase_asof_prior_view(spark, sf_dir):
+    """As-of join (functions/asof.py): each purchase annotated with the
+    user's most recent strictly-prior view. Union-interleave plan — one
+    shuffle, no range-join pair blowup (plan-asserted in tests)."""
+    from schematic_spark.functions import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on="user_id",
+        right_cols=("event_id", "ts"), strict=True, tiebreak_col="event_id",
+    )
+    from schematic_spark.functions.timeops import epoch_micros
+
+    ts_type = out.schema["ts"].dataType
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("view_event_id"),
+        (
+            epoch_micros(F.col("ts"), ts_type)
+            - epoch_micros(F.col("ts_asof"), ts_type)
+        ).alias("gap_us"),
+    )
+
+
+def _q_train_split_documents(spark, sf_dir):
+    """Deterministic md5 train/val/test split (functions/split.py),
+    stratification report per (split, lang). Pure projection + one
+    hash-agg — no shuffle before the aggregation's own exchange."""
+    from schematic_spark.functions import assign_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, salt="r3")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def _q_lsh_topk_embeddings(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (functions/similarity.py):
+    scan only buckets within Hamming radius 1 of the query's bucket.
+    The oracle recomputes the same seeded planes as DOUBLE[] literals
+    and filters by bit_count(xor(sig, qsig)) <= 1 — certifying both the
+    signature arithmetic and the candidate pruning."""
+    from schematic_spark.functions import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").select("embedding").first()[0]]
+    out = lsh_topk(
+        emb, q, k=10, n_planes=12, seed=42, probe_radius=1
+    )
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def _q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF-style top-k (functions/similarity.py): assign every vector to
+    its nearest centroid (seeded literals shared with the oracle), probe
+    the 3 lists closest to the query, brute-force cosine within."""
+    import numpy as np
+
+    from schematic_spark.functions import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").select("embedding").first()[0]]
+    cent = np.random.RandomState(7).randn(8, 64)
+    out = ivf_topk(emb, q, cent, k=10, n_probe=3)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Corpus vocabulary characterization (functions/text.py): top-5
+    terms per language by TF-IDF; ranking uses the rounded statistic so
+    cross-engine float noise cannot reorder near-ties."""
+    from schematic_spark.functions import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5, min_term_len=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -848,6 +966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "shared_passages_documents": _q_shared_passages_documents,
         "media_resize_frames": _q_media_resize_frames,
+        "sessionized_events": _q_sessionized_events,
+        "purchase_asof_prior_view": _q_purchase_asof_prior_view,
+        "train_split_documents": _q_train_split_documents,
+        "lsh_topk_embeddings": _q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": _q_ivf_topk_embeddings,
+        "tfidf_top_terms_lang": _q_tfidf_top_terms,
     }
 
 
@@ -872,6 +996,76 @@ def _lang_score_sql(lang: str) -> str:
         f"len(regexp_extract_all(text, '{pat}')) / "
         "greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)"
     )
+
+
+def _dlist(vals) -> str:
+    """DOUBLE[] literal with round-trip precision."""
+    return "[" + ",".join(repr(float(x)) for x in vals) + "]"
+
+
+def _lsh_oracle_sql() -> str:
+    """Recompute the seed-42 hyperplane signatures as SQL literals and
+    prune candidates via bit_count(xor(sig, qsig)) <= 1 — the exact
+    arithmetic of functions/similarity.py::hyperplane_signature."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(12, 64)
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_dlist(planes[b])}) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(12)
+    )
+    cos = (
+        "list_dot_product(s.v, q.qv)"
+        "/greatest(sqrt(list_dot_product(s.v, s.v))"
+        "*sqrt(list_dot_product(q.qv, q.qv)), 1e-12)"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv, ({sig}) AS qsig
+              FROM e ORDER BY vec_id LIMIT 1),
+        s AS (SELECT vec_id, v, ({sig}) AS sig FROM e)
+        SELECT vec_id, round({cos}, 5) AS cosine
+        FROM s, q
+        WHERE bit_count(xor(CAST(s.sig AS BIGINT), CAST(q.qsig AS BIGINT))) <= 1
+        ORDER BY {cos} DESC, vec_id
+        LIMIT 10
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    """Seed-7 centroid literals; nearest-centroid assignment + 3-probe
+    shortlist + brute-force cosine — functions/similarity.py::ivf_topk."""
+    import numpy as np
+
+    cent = np.random.RandomState(7).randn(8, 64)
+    values = ", ".join(
+        f"({i}, {_dlist(cent[i])}::DOUBLE[])" for i in range(8)
+    )
+    cos = (
+        "list_dot_product(a.v, q.qv)"
+        "/greatest(sqrt(list_dot_product(a.v, a.v))"
+        "*sqrt(list_dot_product(q.qv, q.qv)), 1e-12)"
+    )
+    return f"""
+        WITH cent AS (SELECT * FROM (VALUES {values}) t(cid, cv)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+        probe AS (SELECT cid FROM cent, q
+                  ORDER BY list_distance(cv, qv), cid LIMIT 3),
+        assign AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT cid FROM cent
+                  ORDER BY list_distance(cent.cv, e.v), cid LIMIT 1) AS cid
+          FROM e)
+        SELECT vec_id, round({cos}, 5) AS cosine
+        FROM assign a, q
+        WHERE a.cid IN (SELECT cid FROM probe)
+        ORDER BY {cos} DESC, vec_id
+        LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1657,5 +1851,91 @@ def oracle_sql() -> dict[str, str]:
                         AS VARCHAR) AS sum_price
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "sessionized_events": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CAST(round(value * 100, 0) AS BIGINT) AS vc,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pts
+              FROM events),
+            m AS (
+              SELECT user_id, event_id, ts, vc,
+                     sum(CASE WHEN pts IS NULL
+                              OR date_diff('microsecond', pts, ts)
+                                 > 86400000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_idx
+              FROM s)
+            SELECT user_id, session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   CAST(sum(vc) AS BIGINT) AS total_value_c
+            FROM m GROUP BY user_id, session_idx
+        """,
+        "purchase_asof_prior_view": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            v AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view'),
+            u AS (
+              SELECT user_id, ts, 0 AS side, NULL::BIGINT AS rid,
+                     NULL::TIMESTAMP AS rts, event_id FROM p
+              UNION ALL
+              SELECT user_id, ts, 1, event_id, ts, NULL FROM v),
+            c AS (
+              SELECT *,
+                     last_value(rid IGNORE NULLS) OVER w AS rid_c,
+                     last_value(rts IGNORE NULLS) OVER w AS rts_c
+              FROM u
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, side, rid NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT event_id, user_id, rid_c AS view_event_id,
+                   epoch_us(ts) - epoch_us(rts_c) AS gap_us
+            FROM c WHERE side = 0
+        """,
+        "train_split_documents": """
+            WITH s AS (
+              SELECT lang, n_chars,
+                     CAST(concat('0x',
+                          substr(md5(concat('r3', doc_id)), 1, 15))
+                          AS BIGINT) % 1000 AS b
+              FROM documents)
+            SELECT CASE WHEN b < 900 THEN 'train'
+                        WHEN b < 950 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM s GROUP BY 1, 2
+        """,
+        "lsh_topk_embeddings": _lsh_oracle_sql(),
+        "ivf_topk_embeddings": _ivf_oracle_sql(),
+        "tfidf_top_terms_lang": """
+            WITH toks AS (
+              SELECT lang, doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents),
+            f AS (SELECT lang, term,
+                         CAST(count(*) AS BIGINT) AS tf,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+                  FROM toks WHERE length(term) >= 3 GROUP BY 1, 2),
+            n AS (SELECT count(*) AS nd FROM documents),
+            s AS (SELECT lang, term, tf, df_docs,
+                         round(tf * ln((nd + 1.0) / (df_docs + 1.0)), 5)
+                           AS tfidf,
+                         row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY round(tf * ln((nd + 1.0)
+                                          / (df_docs + 1.0)), 5) DESC,
+                                    term) AS rn
+                  FROM f, n)
+            SELECT lang, term, tf, df_docs, tfidf FROM s WHERE rn <= 5
         """,
     }

@@ -27,6 +27,8 @@ from .media import (  # noqa: F401
     sample_frames,
     synthetic_media,
 )
+from .asof import asof_join  # noqa: F401
+from .split import assign_split, split_bucket  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_to_query,
     cosine_topk,
@@ -45,6 +47,7 @@ from .text import (  # noqa: F401
     quality_features,
     quality_score,
     shared_passage_pairs,
+    tfidf_top_terms,
     whitespace_token_count,
     winnow_fingerprints,
     with_text_analysis,

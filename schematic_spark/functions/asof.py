@@ -1,0 +1,99 @@
+"""As-of (most-recent-prior) join — an engine-level temporal operator.
+
+For every left row, attach the latest right row of the same key whose
+timestamp is earlier (strict) or earlier-or-equal (inclusive). The
+reference is timeless (single-document validation,
+``/root/reference/src/Data/Schematic/Validation.hs``); this is the
+standard enrichment primitive for event pipelines (e.g. "the feature
+snapshot in force when this example was logged").
+
+Physical strategy — the *union interleave*, not a range join:
+
+  A naive formulation ``left JOIN right ON key AND r.ts < l.ts`` +
+  max-per-left explodes to O(|pairs within key|) intermediate rows —
+  quadratic on hot keys, fatal at 100 TB. Instead both sides are
+  union-ed into one stream tagged by side, sorted per key by
+  ``(ts, side, tiebreak)``, and the right-hand payload is carried
+  forward with ``last(..., ignoreNulls)`` over an unbounded-preceding
+  window. Cost: ONE shuffle on the key (the window exchange), output
+  linear in |left| + |right|, no pair blowup. Skewed keys are handled
+  by AQE the same way any single window over a key is.
+
+The carried payload is ONE struct column (non-null exactly for right
+rows), so right columns that are legitimately NULL are still carried
+faithfully — ``last(ignoreNulls)`` skips whole missing rows, never
+individual null fields.
+
+Strictness is encoded purely in the sort order of the ``side`` tag at
+equal timestamps: for a strict join the left row sorts *before* the
+equal-``ts`` right rows (so it cannot see them); inclusive sorts the
+right rows first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...],
+    strict: bool = True,
+    suffix: str = "_asof",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Left rows + ``<right_col><suffix>`` columns from the most recent
+    prior right row of the same key (null when none exists).
+
+    ``right_cols`` are the payload columns to carry; ``tiebreak_col``
+    (a right-side column) totalizes the order among equal-``ts`` right
+    rows — the *latest* by the tiebreak wins, matching "most recent".
+    """
+    # side tag: the left row must NOT see equal-ts right rows iff strict.
+    left_side, right_side = (0, 1) if strict else (1, 0)
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_side).alias("__side"),
+        (F.col(tiebreak_col) if tiebreak_col is not None else F.lit(0))
+        .alias("__tie"),
+        payload.alias("__r"),
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_side).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__tie"].dataType).alias("__tie"),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "__left", F.lit(None).cast(l_tagged.schema["__left"].dataType)
+    )
+    # __tie separates only rows of the same (ts, side) — i.e. right rows;
+    # nulls_first keeps left rows' null __tie from outranking anything.
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(
+            F.col("__ts"), F.col("__side"), F.col("__tie").asc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged).select(
+        "__side",
+        "__left",
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+    )
+    out = merged.where(F.col("__side") == left_side)
+    return out.select(
+        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[F.col("__r")[c].alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -9,7 +9,7 @@ engine-level operators the north rule's pipeline context requires.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -277,6 +277,64 @@ def shared_passage_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per group by TF-IDF: (group, term, tf, df_docs,
+    tfidf) — corpus-level vocabulary characterization (e.g. per-language
+    signature terms for a training mix report).
+
+    Terms are lowercase alpha runs of length >= ``min_term_len``;
+    ``tfidf = tf * ln((N_docs + 1) / (df_docs + 1))`` with N the corpus
+    document count, rounded to 5 places (ranking uses the rounded value
+    so cross-engine float noise cannot reorder near-ties).
+
+    Scale shape: the token explosion never leaves the map side — the
+    ``groupBy(group, term)`` partial aggregation collapses duplicates
+    per partition before its (small, per-term) shuffle; the corpus doc
+    count joins in as a broadcast single row; the final top-k window
+    shuffles only the aggregated term table on ``group``.
+    """
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+            )
+        ).alias("term"),
+    ).where(F.length("term") >= min_term_len)
+    freqs = terms.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("_id").alias("df_docs"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = freqs.join(F.broadcast(n_docs)).select(
+        "grp", "term", "tf", "df_docs",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("_n") + 1.0) / (F.col("df_docs") + 1.0)),
+            5,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("grp").alias(group_col), "term", "tf", "df_docs", "tfidf"
+        )
     )
 
 

@@ -1,0 +1,91 @@
+"""Gap-based sessionization over an event stream/table.
+
+The reference has no notion of time at all (it validates one JSON
+document, ``/root/reference/src/Data/Schematic/Validation.hs:193-244``);
+sessionization is an engine-level operator a training-data pipeline
+needs (user activity segmentation, per-session document grouping).
+
+Semantics: events of one actor, ordered by ``(ts, tiebreak)``, belong to
+the same session while consecutive gaps are <= ``gap`` (strictly greater
+starts a new session). This matches Structured Streaming's
+``session_window`` gap semantics, expressed for batch via windows so the
+output carries a stable, per-user dense session index.
+
+Scale shape (100 TB): ONE shuffle, on the actor key. The ``lag`` window
+and the running ``sum`` share the same ``partitionBy(user)`` exchange,
+and the follow-up ``groupBy(user, session_idx)`` is satisfied by the
+same hash partitioning (group keys are a superset of the partition key),
+so Catalyst plans zero additional exchanges — asserted in
+``tests/test_plan_shape.py``. Gap arithmetic is done in integral
+microseconds (``unix_micros``) — no float timestamps, no DST surprises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from schematic_spark.functions.timeops import epoch_micros
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Append ``session_idx`` (1-based, dense per user).
+
+    ``tiebreak_col`` makes the intra-user order total when timestamps can
+    collide (recommended: the event id); without it equal-``ts`` rows
+    order arbitrarily and the index is only deterministic up to ties.
+    """
+    order: list[Column] = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    ts_us = epoch_micros(F.col(ts_col), df.schema[ts_col].dataType)
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_us = F.lag(ts_us).over(w)
+    new_session = (
+        prev_us.isNull() | (ts_us - prev_us > gap_seconds * 1_000_000)
+    ).cast("int")
+    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", F.sum(new_session).over(running))
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """One row per session: (user, session_idx, n_events, ts_start,
+    ts_end, duration_us[, total_value]). Single shuffle (see module doc).
+    """
+    sess = sessionize(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        gap_seconds=gap_seconds,
+        tiebreak_col=tiebreak_col,
+    )
+    ts_type = df.schema[ts_col].dataType
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("ts_start"),
+        F.max(ts_col).alias("ts_end"),
+        (
+            epoch_micros(F.max(ts_col), ts_type)
+            - epoch_micros(F.min(ts_col), ts_type)
+        ).alias("duration_us"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return sess.groupBy(user_col, "session_idx").agg(*aggs)

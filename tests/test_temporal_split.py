@@ -1,0 +1,268 @@
+"""Sessionization, as-of join, deterministic split, TF-IDF top terms."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+
+# ---------------------------------------------------------------------------
+# sessionize / session_stats
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_boundaries(spark):
+    from schematic_spark.suite import sessionize
+
+    rows = [
+        # user 1: gaps 10m, exactly 30m (same session), 30m+1us (new)
+        (1, 1, _ts(0.0)),
+        (2, 1, _ts(10.0)),
+        (3, 1, _ts(40.0)),
+        (4, 1, _ts(40.0) + dt.timedelta(minutes=30, microseconds=1)),
+        # user 2: single event
+        (5, 2, _ts(5.0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(
+        df, gap_seconds=1800, tiebreak_col="event_id"
+    ).orderBy("event_id")
+    got = [(r.event_id, r.session_idx) for r in out.collect()]
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 2), (5, 1)]
+
+
+def test_session_stats_values(spark):
+    from schematic_spark.suite import session_stats
+
+    rows = [
+        (1, 1, _ts(0.0), 2.0),
+        (2, 1, _ts(10.0), 3.0),
+        (3, 1, _ts(120.0), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = session_stats(
+        df, gap_seconds=1800, tiebreak_col="event_id", value_col="value"
+    ).orderBy("session_idx").collect()
+    assert [(r.session_idx, r.n_events, r.duration_us, r.total_value)
+            for r in out] == [(1, 2, 600_000_000, 5.0), (2, 1, 0, 5.0)]
+    assert out[0].ts_start == _ts(0.0) and out[0].ts_end == _ts(10.0)
+
+
+def test_sessionize_equal_ts_ties_deterministic(spark):
+    from schematic_spark.suite import sessionize
+
+    rows = [(i, 7, _ts(0.0)) for i in range(4)] + [(9, 7, _ts(90.0))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(df, tiebreak_col="event_id")
+    got = {r.event_id: r.session_idx for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 9: 2}
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts(10.0)),   # prior rights at 5, 10 → strict picks 5
+            (101, 1, _ts(30.0)),   # → 10
+            (102, 2, _ts(1.0)),    # no prior right → null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (900, 1, _ts(5.0), "a"),
+            (901, 1, _ts(10.0), "b"),
+            (902, 2, _ts(2.0), "c"),
+        ],
+        "rid long, user_id long, ts timestamp, payload string",
+    )
+    return left, right
+
+
+def test_asof_join_strict_vs_inclusive(spark):
+    from schematic_spark.functions import asof_join
+
+    left, right = _asof_frames(spark)
+    strict = asof_join(
+        left, right, on="user_id", right_cols=("rid", "payload"),
+        strict=True, tiebreak_col="rid",
+    )
+    got = {r.event_id: (r.rid_asof, r.payload_asof) for r in strict.collect()}
+    assert got == {100: (900, "a"), 101: (901, "b"), 102: (None, None)}
+
+    incl = asof_join(
+        left, right, on="user_id", right_cols=("rid", "payload"),
+        strict=False, tiebreak_col="rid",
+    )
+    got = {r.event_id: r.rid_asof for r in incl.collect()}
+    assert got == {100: 901, 101: 901, 102: None}
+
+
+def test_asof_join_carries_null_payload_fields(spark):
+    """A right row whose payload column is NULL must still win (the
+    struct carry must not skip it the way last(col, ignoreNulls) would)."""
+    from schematic_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts(10.0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(70, 5, _ts(1.0), "old"), (71, 5, _ts(2.0), None)],
+        "rid long, user_id long, ts timestamp, payload string",
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=("rid", "payload"),
+        tiebreak_col="rid",
+    ).collect()
+    assert out[0].rid_asof == 71 and out[0].payload_asof is None
+
+
+def test_asof_join_equal_ts_right_tiebreak_latest_wins(spark):
+    from schematic_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts(10.0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(70, 5, _ts(3.0), "x"), (71, 5, _ts(3.0), "y")],
+        "rid long, user_id long, ts timestamp, payload string",
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=("rid", "payload"),
+        tiebreak_col="rid",
+    ).collect()
+    assert out[0].rid_asof == 71
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-interleave plan shuffles once (the window exchange) —
+    no range-join pair blowup, no second exchange."""
+    from schematic_spark.functions import asof_join
+
+    left, right = _asof_frames(spark)
+    plan = asof_join(
+        left, right, on="user_id", right_cols=("rid",)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # one Window over the union; a Join node would mean the quadratic form
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+# ---------------------------------------------------------------------------
+# assign_split
+# ---------------------------------------------------------------------------
+
+def test_assign_split_matches_hashlib_and_is_exhaustive(spark):
+    from schematic_spark.functions import assign_split
+
+    ids = [f"doc-{i}" for i in range(300)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    out = {r.doc_id: r.split
+           for r in assign_split(df, salt="s1").collect()}
+
+    def expect(doc_id: str) -> str:
+        b = int(hashlib.md5(("s1" + doc_id).encode()).hexdigest()[:15], 16) % 1000
+        return "train" if b < 900 else ("val" if b < 950 else "test")
+
+    assert out == {i: expect(i) for i in ids}
+    assert set(out.values()) == {"train", "val", "test"}
+
+
+def test_assign_split_salt_decorrelates(spark):
+    from schematic_spark.functions import assign_split
+
+    df = spark.createDataFrame(
+        [(f"d{i}",) for i in range(400)], "doc_id string"
+    )
+    a = {r.doc_id: r.split for r in assign_split(df, salt="a").collect()}
+    b = {r.doc_id: r.split for r in assign_split(df, salt="b").collect()}
+    assert a != b  # different namespaces
+    # but each is individually stable
+    a2 = {r.doc_id: r.split for r in assign_split(df, salt="a").collect()}
+    assert a == a2
+
+
+def test_assign_split_rejects_bad_weights(spark):
+    import pytest
+
+    from schematic_spark.functions import assign_split
+
+    df = spark.createDataFrame([("x",)], "doc_id string")
+    with pytest.raises(ValueError):
+        assign_split(df, weights={"train": 1, "val": 1}, denominator=1000)
+
+
+# ---------------------------------------------------------------------------
+# plan shapes (scale claims)
+# ---------------------------------------------------------------------------
+
+def test_session_stats_single_exchange(spark):
+    """The lag window, the running sum, and the per-session groupBy all
+    reuse ONE hashpartitioning(user_id) exchange — the groupBy keys are
+    a superset of the window partition key."""
+    from schematic_spark.suite import session_stats
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = session_stats(ev, gap_seconds=86400, tiebreak_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_entry_query_single_exchange(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["purchase_asof_prior_view"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_train_split_no_shuffle_before_agg(spark):
+    """Split assignment is a pure projection: the only exchange is the
+    stratification aggregation's own."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["train_split_documents"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_small(spark):
+    from schematic_spark.functions import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "en", "apple apple banana common"),
+            ("b", "en", "apple cherry common"),
+            ("c", "de", "zebra common"),
+        ],
+        "doc_id string, lang string, text string",
+    )
+    out = tfidf_top_terms(docs, k=2, min_term_len=3)
+    rows = {(r.lang, r.term): (r.tf, r.df_docs, r.tfidf) for r in out.collect()}
+    n = 3
+    exp_apple = round(3 * math.log((n + 1) / (2 + 1)), 5)
+    assert rows[("en", "apple")] == (3, 2, exp_apple)
+    # 'common' appears in all docs → lowest idf, never top-2 for en
+    assert ("en", "common") not in rows
+    assert ("de", "zebra") in rows
+    # exactly k rows per group
+    assert len([k_ for k_ in rows if k_[0] == "en"]) == 2
