@@ -923,6 +923,33 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, k=5, min_term_len=3)
 
 
+def _q_chunked_interleaved_docs(spark, sf_dir):
+    """Greedy span-preserving context packing over the generated
+    interleaved table (functions/chunking.py): exact sequential fold
+    per document as a row-local Catalyst aggregate — zero shuffle
+    before the per-chunk stats agg. The oracle replays the identical
+    greedy walk with a recursive CTE."""
+    from schematic_spark.functions import chunk_stats
+
+    docs = spark.read.parquet(_interleaved_parquet(spark))
+    return chunk_stats(docs, max_chars=48, media_cost=16)
+
+
+def _q_capped_docs_per_source(spark, sf_dir):
+    """Deterministic per-source cap (functions/sampling.py): keep 10
+    docs per source by stable md5 order; report the surviving mix."""
+    from schematic_spark.functions import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = cap_per_group(
+        docs, group_col="source", id_col="doc_id", n=10, salt="mix"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -972,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": _q_lsh_topk_embeddings,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "tfidf_top_terms_lang": _q_tfidf_top_terms,
+        "chunked_interleaved_docs": _q_chunked_interleaved_docs,
+        "capped_docs_per_source": _q_capped_docs_per_source,
     }
 
 
@@ -1937,5 +1966,51 @@ def oracle_sql() -> dict[str, str]:
                                     term) AS rn
                   FROM f, n)
             SELECT lang, term, tf, df_docs, tfidf FROM s WHERE rn <= 5
+        """,
+        "chunked_interleaved_docs": """
+            -- doc_id is NOT unique (generator plants hot keys); the
+            -- greedy walk is per physical ROW, so give each row an
+            -- arbitrary-but-unique rid — the final (doc_id, chunk)
+            -- aggregation over per-row results is pairing-independent.
+            WITH RECURSIVE base AS (
+              SELECT row_number() OVER () AS rid, doc_id, spans
+              FROM read_parquet(
+                '/tmp/schematic_spark_oracle/interleaved_5000/*.parquet')),
+            sp AS (
+              SELECT rid, doc_id, i,
+                     coalesce(length(spans[i].text), 16) AS cost,
+                     (spans[i].media_ref IS NOT NULL) AS is_media
+              FROM base, unnest(generate_series(1, len(spans))) t(i)),
+            walk AS (
+              SELECT rid, doc_id, i, 0 AS chunk, cost AS used, cost,
+                     is_media
+              FROM sp WHERE i = 1
+              UNION ALL
+              SELECT sp.rid, sp.doc_id, sp.i,
+                     CASE WHEN w.used > 0 AND w.used + sp.cost > 48
+                          THEN w.chunk + 1 ELSE w.chunk END,
+                     CASE WHEN w.used > 0 AND w.used + sp.cost > 48
+                          THEN sp.cost ELSE w.used + sp.cost END,
+                     sp.cost, sp.is_media
+              FROM walk w JOIN sp
+                ON sp.rid = w.rid AND sp.i = w.i + 1)
+            SELECT doc_id, CAST(chunk AS INT) AS chunk_idx,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(cost) AS BIGINT) AS n_chars,
+                   CAST(sum(CASE WHEN is_media THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_media
+            FROM walk GROUP BY doc_id, chunk
+        """,
+        "capped_docs_per_source": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('mix', doc_id)), doc_id) AS rn
+              FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM r WHERE rn <= 10 GROUP BY source
         """,
     }

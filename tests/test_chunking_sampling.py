@@ -1,0 +1,143 @@
+"""Greedy span chunking and deterministic per-group capping."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string, text:string, "
+        "media_ref:string, offset:int>>",
+    )
+
+
+def _span(kind="text", text="", media_ref=None, offset=0):
+    return (kind, text, media_ref, offset)
+
+
+class TestChunkSpans:
+    def test_greedy_packing_exact(self, spark):
+        from schematic_spark.functions import chunk_spans
+
+        # budget 10: [4, 5] fit; +3 overflows -> new chunk; 12 alone
+        df = _spans_df(spark, [(
+            "d1",
+            [
+                _span(text="aaaa"),        # 4  -> chunk 0 (used 4)
+                _span(text="bbbbb"),       # 5  -> chunk 0 (used 9)
+                _span(text="ccc"),         # 3  -> chunk 1 (used 3)
+                _span(text="x" * 12),      # 12 -> chunk 2 (over-budget alone)
+                _span(text="dd"),          # 2  -> chunk 3
+            ],
+        )])
+        out = chunk_spans(df, max_chars=10).collect()[0].chunk_ids
+        assert out == [0, 0, 1, 2, 3]
+
+    def test_zero_length_first_span_does_not_close_chunk(self, spark):
+        """used==0 must never close a chunk, even when the next span is
+        over budget on its own."""
+        from schematic_spark.functions import chunk_spans
+
+        df = _spans_df(spark, [(
+            "d1", [_span(text=""), _span(text="y" * 60)],
+        )])
+        out = chunk_spans(df, max_chars=48).collect()[0].chunk_ids
+        assert out == [0, 0]
+
+    def test_media_cost_budget(self, spark):
+        from schematic_spark.functions import chunk_spans
+
+        df = _spans_df(spark, [(
+            "d1",
+            [
+                _span(kind="media", text=None, media_ref="m1"),  # 16
+                _span(kind="media", text=None, media_ref="m2"),  # 16 (32)
+                _span(kind="media", text=None, media_ref="m3"),  # 16 (48)
+                _span(text="z"),                                 # 1 -> new
+            ],
+        )])
+        out = chunk_spans(df, max_chars=48, media_cost=16) \
+            .collect()[0].chunk_ids
+        assert out == [0, 0, 0, 1]
+
+    def test_chunk_stats_totals(self, spark):
+        from schematic_spark.functions import chunk_stats
+
+        df = _spans_df(spark, [
+            ("d1", [
+                _span(text="aaaa"),
+                _span(kind="media", text=None, media_ref="m1"),
+                _span(text="bbbbbbbb"),
+            ]),
+            ("empty", []),
+        ])
+        rows = {(r.doc_id, r.chunk_idx): (r.n_spans, r.n_chars, r.n_media)
+                for r in chunk_stats(df, max_chars=20, media_cost=16)
+                .collect()}
+        # 4 + 16 = 20 fits exactly; 8 starts chunk 1
+        assert rows == {("d1", 0): (2, 20, 1), ("d1", 1): (1, 8, 0)}
+
+    def test_chunking_is_shuffle_free_before_agg(self, spark):
+        from schematic_spark.functions import chunk_spans
+
+        df = _spans_df(spark, [("d1", [_span(text="abc")])])
+        plan = chunk_spans(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Exchange" not in plan, plan
+
+
+class TestCapPerGroup:
+    def _docs(self, spark, n=60, groups=3):
+        rows = [(f"doc{i:03d}", f"g{i % groups}") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id string, grp string")
+
+    def test_cap_counts_and_determinism(self, spark):
+        from schematic_spark.functions import cap_per_group
+
+        df = self._docs(spark)
+        out = cap_per_group(df, group_col="grp", id_col="doc_id", n=5)
+        got = sorted((r.grp, r.doc_id) for r in out.collect())
+        assert len(got) == 15
+        again = sorted((r.grp, r.doc_id)
+                       for r in cap_per_group(
+                           df, group_col="grp", id_col="doc_id", n=5
+                       ).collect())
+        assert got == again
+
+    def test_cap_matches_hashlib_order(self, spark):
+        from schematic_spark.functions import cap_per_group
+
+        df = self._docs(spark)
+        out = cap_per_group(
+            df, group_col="grp", id_col="doc_id", n=4, salt="s"
+        )
+        got = {g: sorted(d for gg, d in
+                         ((r.grp, r.doc_id) for r in out.collect())
+                         if gg == g) for g in ("g0", "g1", "g2")}
+        ids = [f"doc{i:03d}" for i in range(60)]
+        for g in got:
+            members = [d for d in ids
+                       if f"g{int(d[3:]) % 3}" == g]
+            members.sort(key=lambda d: (
+                hashlib.md5(("s" + d).encode()).hexdigest(), d))
+            assert got[g] == sorted(members[:4])
+
+    def test_two_phase_equals_single_phase(self, spark):
+        from schematic_spark.functions import cap_per_group
+
+        df = self._docs(spark, n=200, groups=2)
+        one = sorted((r.grp, r.doc_id) for r in cap_per_group(
+            df, group_col="grp", id_col="doc_id", n=7).collect())
+        two = sorted((r.grp, r.doc_id) for r in cap_per_group(
+            df, group_col="grp", id_col="doc_id", n=7,
+            two_phase=True, salt_buckets=8).collect())
+        assert one == two
+
+    def test_groups_smaller_than_cap_survive_whole(self, spark):
+        from schematic_spark.functions import cap_per_group
+
+        df = self._docs(spark, n=6, groups=3)
+        out = cap_per_group(df, group_col="grp", id_col="doc_id", n=10)
+        assert out.count() == 6
