@@ -155,3 +155,32 @@ def running_verdict_totals(annotated: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_counts_stream(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming-native gap sessionization: ``F.session_window`` holds
+    one open-session state entry per (user, session); the event-time
+    watermark closes sessions and evicts their state, so state size is
+    O(concurrently-open sessions), never O(history). The unbounded-
+    stream analog of the batch operator (suite/sessions.py) — same gap
+    semantics: a strictly-greater-than-``gap`` silence starts a new
+    session."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(user_col),
+        )
+        .agg(*aggs)
+    )

@@ -141,3 +141,41 @@ class TestCapPerGroup:
         df = self._docs(spark, n=6, groups=3)
         out = cap_per_group(df, group_col="grp", id_col="doc_id", n=10)
         assert out.count() == 6
+
+
+def test_chunk_spans_differential_vs_python_twin(spark):
+    """Spark fold vs a pure-Python greedy packer over seeded random
+    span lists — the repo's differential-oracle pattern."""
+    import random
+
+    from schematic_spark.functions import chunk_spans
+
+    rng = random.Random(1234)
+    docs = []
+    for d in range(40):
+        spans = []
+        for _ in range(rng.randint(0, 12)):
+            if rng.random() < 0.25:
+                spans.append(("media", None, f"m{rng.randint(0, 9)}", 0))
+            else:
+                spans.append(
+                    ("text", "x" * rng.randint(0, 30), None, 0)
+                )
+        docs.append((f"d{d}", spans))
+
+    def py_greedy(spans, max_chars=48, media_cost=16):
+        idx, used, out = 0, 0, []
+        for kind, text, ref, off in spans:
+            c = media_cost if text is None else len(text)
+            if used > 0 and used + c > max_chars:
+                idx, used = idx + 1, c
+            else:
+                used += c
+            out.append(idx)
+        return out
+
+    df = _spans_df(spark, docs)
+    got = {r.doc_id: r.chunk_ids
+           for r in chunk_spans(df, max_chars=48, media_cost=16).collect()}
+    for doc_id, spans in docs:
+        assert got[doc_id] == py_greedy(spans), doc_id

@@ -214,3 +214,49 @@ class TestStreamingRound2:
             for k, (n, b) in got.items():
                 assert 0 <= b <= n
             assert sum(b for _, b in got.values()) > 0
+
+
+class TestStreamingSessions:
+    def test_session_counts_stream_gap_semantics(self, spark, tmp_path):
+        import datetime as dt
+
+        from schematic_spark.streaming import session_counts_stream
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # user 1: two events 10m apart (one session), then a 2h gap
+            (1, ts(0), 2.0), (1, ts(10), 3.0), (1, ts(130), 5.0),
+            # user 2: single event
+            (2, ts(5), 1.0),
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.parquet(src)
+
+        stream = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+        )
+        out = session_counts_stream(
+            stream, gap="30 minutes", watermark="10 minutes",
+            value_col="value",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("sess_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sess_stream").collect()
+        }
+        assert got == {(1, 2, 5.0), (1, 1, 5.0), (2, 1, 1.0)}
