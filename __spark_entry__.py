@@ -923,6 +923,25 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, k=5, min_term_len=3)
 
 
+def _q_repetition_documents(spark, sf_dir):
+    """Within-document repetition signals (functions/text.py):
+    distinct-word ratio, top-word share (longest sorted run fold),
+    duplicate-bigram ratio — all row-local Catalyst; the struct fields
+    share only O(n) split/array subtrees (constant-factor inline,
+    no shuffle)."""
+    from schematic_spark.functions import repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    f = repetition_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        F.round(f["distinct_ratio"], 5).alias("distinct_ratio"),
+        F.round(f["top_word_share"], 5).alias("top_word_share"),
+        F.round(f["dup_bigram_ratio"], 5).alias("dup_bigram_ratio"),
+    )
+
+
 def _q_chunked_interleaved_docs(spark, sf_dir):
     """Greedy span-preserving context packing over the generated
     interleaved table (functions/chunking.py): exact sequential fold
@@ -1001,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms_lang": _q_tfidf_top_terms,
         "chunked_interleaved_docs": _q_chunked_interleaved_docs,
         "capped_docs_per_source": _q_capped_docs_per_source,
+        "repetition_documents": _q_repetition_documents,
     }
 
 
@@ -2012,5 +2032,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_kept,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM r WHERE rn <= 10 GROUP BY source
+        """,
+        "repetition_documents": """
+            WITH w AS (
+              SELECT doc_id,
+                     str_split_regex(trim(text), '\\s+') AS words
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(words) AS n_words,
+                     len(list_distinct(words)) AS nd,
+                     CASE WHEN len(words) > 1 THEN
+                       list_transform(
+                         generate_series(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i + 1])
+                     ELSE []::VARCHAR[] END AS bigrams
+              FROM w),
+            top AS (
+              SELECT doc_id, max(cnt) AS topc FROM (
+                SELECT doc_id, word, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(words) AS word FROM w)
+                GROUP BY doc_id, word)
+              GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(b.n_words AS INT) AS n_words,
+                   round(b.nd / greatest(b.n_words, 1), 5)
+                     AS distinct_ratio,
+                   round(coalesce(t.topc, 0) / greatest(b.n_words, 1), 5)
+                     AS top_word_share,
+                   CASE WHEN len(b.bigrams) > 0
+                        THEN round(1.0 - len(list_distinct(b.bigrams))
+                                   / len(b.bigrams), 5)
+                        ELSE 0.0 END AS dup_bigram_ratio
+            FROM base b LEFT JOIN top t USING (doc_id)
         """,
     }

@@ -48,6 +48,7 @@ from .text import (  # noqa: F401
     normalized_text,
     quality_features,
     quality_score,
+    repetition_features,
     shared_passage_pairs,
     tfidf_top_terms,
     whitespace_token_count,

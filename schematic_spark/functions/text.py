@@ -280,6 +280,60 @@ def shared_passage_pairs(
     )
 
 
+def repetition_features(col: Column | str) -> Column:
+    """struct(n_words, distinct_ratio, top_word_share, dup_bigram_ratio)
+    — Gopher-style within-document repetition signals (templated or
+    looping text scores low distinct ratios / high top-word share).
+
+    All row-local Catalyst. ``top_word_share`` (the most frequent
+    word's share) is computed as the longest equal-run over the SORTED
+    word array via a sequential fold — O(n log n) per row, not the
+    O(n^2) count-per-distinct-word formulation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    n = whitespace_token_count(c)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    distinct_ratio = F.size(F.array_distinct(words)) / safe_n
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(acc["prev"] == w, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(words), init, step, lambda acc: acc["best"]
+    )
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bi = F.size(bigrams)
+    dup_bigram_ratio = F.when(n_bi > 0,
+        1.0 - F.size(F.array_distinct(bigrams))
+        / n_bi.cast("double")
+    ).otherwise(F.lit(0.0))
+    zero = n == 0
+    return F.struct(
+        n.alias("n_words"),
+        F.when(zero, 0.0).otherwise(distinct_ratio)
+        .alias("distinct_ratio"),
+        F.when(zero, 0.0).otherwise(top_count / safe_n)
+        .alias("top_word_share"),
+        dup_bigram_ratio.alias("dup_bigram_ratio"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     *,

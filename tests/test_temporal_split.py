@@ -266,3 +266,73 @@ def test_tfidf_top_terms_small(spark):
     assert ("de", "zebra") in rows
     # exactly k rows per group
     assert len([k_ for k_ in rows if k_[0] == "en"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# repetition_features
+# ---------------------------------------------------------------------------
+
+def test_repetition_features_values(spark):
+    from schematic_spark.functions import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x y"),          # 4 words, 2 distinct, top 3
+            ("b", "p q r"),            # all distinct
+            ("c", "z"),                # single word, no bigrams
+            ("d", "m n m n m n"),      # repeated bigram chain
+        ],
+        "doc_id string, text string",
+    )
+    f = repetition_features("text")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        f["n_words"].alias("nw"),
+        f["distinct_ratio"].alias("dr"),
+        f["top_word_share"].alias("tws"),
+        f["dup_bigram_ratio"].alias("dbr"),
+    ).collect()}
+    assert rows["a"].nw == 4 and rows["a"].dr == 0.5
+    assert rows["a"].tws == 0.75
+    # bigrams of a: [x x, x x, x y] -> 2 distinct of 3
+    assert abs(rows["a"].dbr - (1 - 2 / 3)) < 1e-12
+    assert rows["b"].dr == 1.0 and rows["b"].tws == 1 / 3
+    assert rows["b"].dbr == 0.0
+    assert rows["c"].nw == 1 and rows["c"].dbr == 0.0
+    # d: bigrams [m n, n m, m n, n m, m n] -> 2 distinct of 5
+    assert abs(rows["d"].dbr - (1 - 2 / 5)) < 1e-12
+
+
+def test_repetition_features_differential_twin(spark):
+    """Spark vs a pure-Python twin over seeded random word docs."""
+    import random
+    from collections import Counter
+
+    from schematic_spark.functions import repetition_features
+
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (f"d{i}", " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(1, 25))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    f = repetition_features("text")
+    got = {r.doc_id: (r.nw, round(r.dr, 9), round(r.tws, 9), round(r.dbr, 9))
+           for r in df.select(
+               "doc_id", f["n_words"].alias("nw"),
+               f["distinct_ratio"].alias("dr"),
+               f["top_word_share"].alias("tws"),
+               f["dup_bigram_ratio"].alias("dbr")).collect()}
+    for doc_id, text in docs:
+        ws = text.split()
+        n = len(ws)
+        bi = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        exp = (
+            n,
+            round(len(set(ws)) / n, 9),
+            round(Counter(ws).most_common(1)[0][1] / n, 9),
+            round(1 - len(set(bi)) / len(bi), 9) if bi else 0.0,
+        )
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
