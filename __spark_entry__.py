@@ -942,6 +942,20 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_entropy_documents(spark, sf_dir):
+    """Character-distribution Shannon entropy (functions/text.py):
+    exact per-row fold over the sorted char array — pure Catalyst,
+    no shuffle; the oracle recomputes it from per-char group counts."""
+    from schematic_spark.functions import char_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        F.round(char_entropy("text"), 5).alias("entropy"),
+    )
+
+
 def _q_chunked_interleaved_docs(spark, sf_dir):
     """Greedy span-preserving context packing over the generated
     interleaved table (functions/chunking.py): exact sequential fold
@@ -1021,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_interleaved_docs": _q_chunked_interleaved_docs,
         "capped_docs_per_source": _q_capped_docs_per_source,
         "repetition_documents": _q_repetition_documents,
+        "entropy_documents": _q_entropy_documents,
     }
 
 
@@ -2064,5 +2079,21 @@ def oracle_sql() -> dict[str, str]:
                                    / len(b.bigrams), 5)
                         ELSE 0.0 END AS dup_bigram_ratio
             FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "entropy_documents": """
+            WITH ch AS (
+              SELECT doc_id, unnest(str_split(text, '')) AS c
+              FROM documents),
+            cnt AS (SELECT doc_id, c, count(*) AS k
+                    FROM ch GROUP BY doc_id, c),
+            agg AS (SELECT doc_id, sum(k * ln(k)) AS s,
+                           sum(k) AS n
+                    FROM cnt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(length(d.text) AS INT) AS n_chars_text,
+                   round(CASE WHEN a.n > 0
+                              THEN ln(a.n) - a.s / a.n
+                              ELSE 0 END, 5) AS entropy
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

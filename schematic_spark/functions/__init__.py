@@ -42,6 +42,7 @@ from .similarity import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     bpe_ish_token_count,
+    char_entropy,
     doc_fingerprint,
     lang_id,
     lang_scores,

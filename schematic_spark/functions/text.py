@@ -334,6 +334,43 @@ def repetition_features(col: Column | str) -> Column:
     )
 
 
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (nats) of the document's character distribution
+    — low entropy flags repetitive/boilerplate text (CCNet-style
+    filter signal). Exact and row-local: fold over the SORTED char
+    array accumulating ``sum(run * ln(run))`` per equal-run, then
+    ``H = ln(n) - sum / n``. O(n log n) per row, pure Catalyst.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, r"(?!^)")  # between-char split -> one elem per char
+    n = F.length(c)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def step(acc: Column, ch: Column) -> Column:
+        same = acc["prev"] == ch
+        closed = F.when(
+            same | (acc["run"] == 0.0), acc["s"]
+        ).otherwise(acc["s"] + acc["run"] * F.log(acc["run"]))
+        run = F.when(same, acc["run"] + 1.0).otherwise(F.lit(1.0))
+        return F.struct(
+            ch.alias("prev"), run.alias("run"), closed.alias("s")
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["run"] > 0.0, acc["s"] + acc["run"] * F.log(acc["run"])
+        ).otherwise(acc["s"])
+
+    total = F.aggregate(F.array_sort(chars), init, step, finish)
+    return F.when(
+        n > 0, F.log(n.cast("double")) - total / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     *,

@@ -160,6 +160,62 @@ def top_version(base: Schema, migrations: list[Migration]) -> Schema:
     return all_versions(base, migrations)[0][1]
 
 
+def infer_diffs(
+    old: Schema, new: Schema, path: tuple[str, ...] = ()
+) -> tuple[Diff, ...]:
+    """Schema-drift inference: the Diff list transforming ``old`` into
+    ``new`` — the inverse direction of ``apply_migration``. Detecting a
+    live table's drift against its registered spec and emitting the
+    migration is the engine-side use of the reference's migration
+    vocabulary (AddKey/DeleteKey/Update, Migration.hs:109).
+
+    Emits the minimal path-targeted edits: field adds/removes at the
+    owning object, recursion into matching objects / array items /
+    optionals, whole-node ``Update`` where kinds or constraints differ.
+    Caveats mirroring the apply machinery: ``AddKey`` prepends, so
+    object field ORDER round-trips only up to permutation; edits whose
+    target would be an ``SOptional`` node itself escalate to a
+    whole-node ``Update`` (the builder cannot AddKey/DeleteKey through
+    an optional at path end).
+    """
+    if old == new:
+        return ()
+    if isinstance(old, SObject) and isinstance(new, SObject):
+        old_f, new_f = dict(old.fields), dict(new.fields)
+        out: list[Diff] = []
+        for n, _ in old.fields:
+            if n not in new_f:
+                out.append(Diff(path, DeleteKey(n)))
+        for n, s in old.fields:
+            if n in new_f and s != new_f[n]:
+                out.extend(infer_diffs(s, new_f[n], path + (n,)))
+        # AddKey prepends: add in reverse so new-only fields end up in
+        # their relative order at the front
+        for n, s in reversed(new.fields):
+            if n not in old_f:
+                out.append(Diff(path, AddKey(n, s)))
+        return tuple(out)
+    if isinstance(old, SArray) and isinstance(new, SArray):
+        if old.constraints != new.constraints:
+            return (Diff(path, Update(new)),)
+        return infer_diffs(old.item, new.item, path + (TRAVERSE,))
+    if isinstance(old, SOptional) and isinstance(new, SOptional):
+        sub = infer_diffs(old.inner, new.inner, path)
+        if any(d.path == path for d in sub):
+            return (Diff(path, Update(new)),)
+        return sub
+    return (Diff(path, Update(new)),)
+
+
+def infer_migration(
+    old: Schema, new: Schema, revision: str = "inferred"
+) -> Migration:
+    """Package :func:`infer_diffs` as a revision —
+    ``apply_migration(infer_migration(old, new), old)`` equals ``new``
+    up to object field order."""
+    return Migration(revision, infer_diffs(old, new))
+
+
 # ---------------------------------------------------------------------------
 # Versioned validation + data migration
 # ---------------------------------------------------------------------------

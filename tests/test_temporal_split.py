@@ -336,3 +336,42 @@ def test_repetition_features_differential_twin(spark):
             round(1 - len(set(bi)) / len(bi), 9) if bi else 0.0,
         )
         assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+def test_char_entropy_known_values(spark):
+    from schematic_spark.functions import char_entropy
+
+    df = spark.createDataFrame(
+        [("a", "aab"), ("b", "aaaa"), ("c", ""), ("d", "abcd")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.h for r in df.select(
+        "doc_id", char_entropy("text").alias("h")).collect()}
+    assert abs(got["a"] - (math.log(3) - (2 * math.log(2)) / 3)) < 1e-12
+    assert got["b"] == 0.0            # single symbol
+    assert got["c"] == 0.0            # empty
+    assert abs(got["d"] - math.log(4)) < 1e-12   # uniform
+
+
+def test_char_entropy_differential_twin(spark):
+    import random
+    from collections import Counter
+
+    from schematic_spark.functions import char_entropy
+
+    rng = random.Random(9)
+    docs = [(f"d{i}", "".join(rng.choice("abcxyz !.")
+                              for _ in range(rng.randint(1, 80))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r.doc_id: r.h for r in df.select(
+        "doc_id", char_entropy("text").alias("h")).collect()}
+    for doc_id, text in docs:
+        n = len(text)
+        s = sum(k * math.log(k) for k in Counter(text).values())
+        exp = math.log(n) - s / n
+        assert abs(got[doc_id] - exp) < 1e-9, doc_id
