@@ -942,6 +942,30 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_error_events_in_sessions(spark, sf_dir):
+    """Bucketized interval join (functions/interval.py): assign each
+    'error' event to the session interval (built from the NON-error
+    events) containing it — equi-join on (user, time-bucket) + residual
+    BETWEEN, never a nested-loop range join. Uncontained errors keep a
+    null session."""
+    from schematic_spark.functions import bucketed_interval_join
+    from schematic_spark.suite import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    sess = session_stats(
+        ev.where(F.col("event_type") != "error"),
+        gap_seconds=86400, tiebreak_col="event_id",
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = bucketed_interval_join(
+        errors, sess, on="user_id", bucket_seconds=86400,
+        payload_cols=("session_idx",),
+    )
+    return out.select("event_id", "user_id", "session_idx")
+
+
 def _q_entropy_documents(spark, sf_dir):
     """Character-distribution Shannon entropy (functions/text.py):
     exact per-row fold over the sorted char array — pure Catalyst,
@@ -1036,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_docs_per_source": _q_capped_docs_per_source,
         "repetition_documents": _q_repetition_documents,
         "entropy_documents": _q_entropy_documents,
+        "error_events_in_sessions": _q_error_events_in_sessions,
     }
 
 
@@ -2095,5 +2120,32 @@ def oracle_sql() -> dict[str, str]:
                               THEN ln(a.n) - a.s / a.n
                               ELSE 0 END, 5) AS entropy
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "error_events_in_sessions": """
+            WITH ne AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type <> 'error'),
+            s AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pts
+              FROM ne),
+            m AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN pts IS NULL
+                              OR date_diff('microsecond', pts, ts)
+                                 > 86400000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_idx
+              FROM s),
+            iv AS (SELECT user_id, session_idx,
+                          min(ts) AS mn, max(ts) AS mx
+                   FROM m GROUP BY user_id, session_idx)
+            SELECT e.event_id, e.user_id, iv.session_idx
+            FROM events e LEFT JOIN iv
+              ON e.user_id = iv.user_id AND e.ts BETWEEN iv.mn AND iv.mx
+            WHERE e.event_type = 'error'
         """,
     }

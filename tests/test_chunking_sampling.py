@@ -179,3 +179,77 @@ def test_chunk_spans_differential_vs_python_twin(spark):
            for r in chunk_spans(df, max_chars=48, media_cost=16).collect()}
     for doc_id, spans in docs:
         assert got[doc_id] == py_greedy(spans), doc_id
+
+
+class TestBucketedIntervalJoin:
+    def _frames(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(h):
+            return t0 + dt.timedelta(hours=h)
+
+        points = spark.createDataFrame(
+            [
+                (1, 10, ts(1)),    # inside iv A
+                (2, 10, ts(5)),    # exactly at A's end (inclusive)
+                (3, 10, ts(30)),   # in iv B (different day bucket)
+                (4, 10, ts(99)),   # in no interval
+                (5, 20, ts(2)),    # other key, no interval
+            ],
+            "pid long, key long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [
+                ("A", 10, ts(0), ts(5)),
+                ("B", 10, ts(20), ts(40)),   # straddles a bucket edge
+            ],
+            "name string, key long, ts_start timestamp, ts_end timestamp",
+        )
+        return points, intervals
+
+    def test_containment_and_boundaries(self, spark):
+        from schematic_spark.functions import bucketed_interval_join
+
+        points, intervals = self._frames(spark)
+        out = bucketed_interval_join(
+            points, intervals, on="key", bucket_seconds=86400,
+            payload_cols=("name",),
+        )
+        got = {r.pid: r.name for r in out.collect()}
+        assert got == {1: "A", 2: "A", 3: "B", 4: None, 5: None}
+
+    def test_overlapping_intervals_emit_multiple_rows(self, spark):
+        import datetime as dt
+
+        from schematic_spark.functions import bucketed_interval_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        points = spark.createDataFrame(
+            [(1, 7, t0 + dt.timedelta(hours=2))],
+            "pid long, key long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [
+                ("X", 7, t0, t0 + dt.timedelta(hours=4)),
+                ("Y", 7, t0 + dt.timedelta(hours=1),
+                 t0 + dt.timedelta(hours=3)),
+            ],
+            "name string, key long, ts_start timestamp, ts_end timestamp",
+        )
+        out = bucketed_interval_join(
+            points, intervals, on="key", payload_cols=("name",)
+        )
+        assert sorted(r.name for r in out.collect()) == ["X", "Y"]
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        from schematic_spark.functions import bucketed_interval_join
+
+        points, intervals = self._frames(spark)
+        out = bucketed_interval_join(
+            points, intervals, on="key", payload_cols=("name",)
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
