@@ -942,6 +942,30 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_value_outliers_by_type(spark, sf_dir):
+    """IQR outlier report per event type: exact quartiles → Tukey
+    fences (q1 - 1.5·IQR, q3 + 1.5·IQR) → broadcast the tiny bounds
+    frame back over the events for counts and extremes. Two scans, one
+    broadcast — the bounds never shuffle the fact table."""
+    ev = _read(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    ).select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    flagged = ev.join(F.broadcast(bounds), "event_type").where(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.round(F.min("value"), 6).alias("min_outlier"),
+        F.round(F.max("value"), 6).alias("max_outlier"),
+    )
+
+
 def _q_error_events_in_sessions(spark, sf_dir):
     """Bucketized interval join (functions/interval.py): assign each
     'error' event to the session interval (built from the NON-error
@@ -1061,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": _q_repetition_documents,
         "entropy_documents": _q_entropy_documents,
         "error_events_in_sessions": _q_error_events_in_sessions,
+        "value_outliers_by_type": _q_value_outliers_by_type,
     }
 
 
@@ -2147,5 +2172,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN iv
               ON e.user_id = iv.user_id AND e.ts BETWEEN iv.mn AND iv.mx
             WHERE e.event_type = 'error'
+        """,
+        "value_outliers_by_type": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type)
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_outliers,
+                   round(min(e.value), 6) AS min_outlier,
+                   round(max(e.value), 6) AS max_outlier
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND (e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                   OR e.value > b.q3 + 1.5 * (b.q3 - b.q1))
+            GROUP BY e.event_type
         """,
     }

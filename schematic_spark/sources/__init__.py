@@ -1,4 +1,5 @@
 from .json_ingest import MALFORMED, validate_json_strings  # noqa: F401
+from .layout import clustered_write, file_key_ranges  # noqa: F401
 from .checkpoint import (  # noqa: F401
     LINEAGE_TABLE,
     METRICS_TABLE,

@@ -271,3 +271,54 @@ class TestPlanShapeRound3:
         # md5 gram-hash lambda must not be duplicated beyond the
         # self-join's two identical subtrees
         assert plan.count("md5") <= 2, plan
+
+
+class TestPartitionPruning:
+    def test_partitioned_sink_prunes_at_scan(self, spark, tmp_path):
+        """A violations-style sink written partitionBy(lang) must let a
+        lang filter prune directories at the scan (PartitionFilters),
+        not read-then-filter — at 100 TB this is the difference between
+        touching one partition and touching all of them."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = str(tmp_path / "by_lang")
+        docs.write.partitionBy("lang").parquet(out)
+
+        rd = spark.read.parquet(out).where(F.col("lang") == "en")
+        plan = rd._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, plan
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert any("lang" in ln for ln in pf), plan
+        # the residual data filter must NOT re-check lang row-by-row
+        assert rd.count() == docs.where(F.col("lang") == "en").count()
+
+
+class TestClusteredLayout:
+    def test_clustered_write_yields_disjoint_file_ranges(self, spark, tmp_path):
+        """Range-clustered files must carry tight, near-disjoint
+        min/max footer stats on the cluster key — that's what lets
+        readers skip files/row-groups at 100 TB. Unclustered round-robin
+        writes, by contrast, give every file the full key range."""
+        from schematic_spark.sources.layout import (
+            clustered_write, file_key_ranges,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        clustered = str(tmp_path / "clustered")
+        clustered_write(
+            ev, clustered, cluster_cols=("user_id",), n_files=4
+        )
+        ranges = file_key_ranges(clustered, "user_id")
+        assert len(ranges) >= 2
+        # ranges may share a single boundary value, never overlap beyond it
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, ranges
+
+        # control: plain write -> every file spans ~the whole key range
+        plain = str(tmp_path / "plain")
+        ev.repartition(4).write.parquet(plain)
+        pranges = file_key_ranges(plain, "user_id")
+        overlapping = sum(
+            1 for (l1, h1), (l2, h2) in zip(pranges, pranges[1:])
+            if h1 > l2
+        )
+        assert overlapping >= 1, pranges
