@@ -47,6 +47,7 @@ def asof_join(
     strict: bool = True,
     suffix: str = "_asof",
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + ``<right_col><suffix>`` columns from the most recent
     prior right row of the same key (null when none exists).
@@ -54,7 +55,14 @@ def asof_join(
     ``right_cols`` are the payload columns to carry; ``tiebreak_col``
     (a right-side column) totalizes the order among equal-``ts`` right
     rows — the *latest* by the tiebreak wins, matching "most recent".
+
+    ``direction='forward'`` flips the match to the NEAREST LATER right
+    row (strictly later when ``strict``); among equal-``ts`` rights the
+    *earliest* by tiebreak wins. Implemented by walking the interleave
+    in descending time — same single-shuffle plan.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     # side tag: the left row must NOT see equal-ts right rows iff strict.
     left_side, right_side = (0, 1) if strict else (1, 0)
 
@@ -80,11 +88,18 @@ def asof_join(
     )
     # __tie separates only rows of the same (ts, side) — i.e. right rows;
     # nulls_first keeps left rows' null __tie from outranking anything.
+    # forward direction: walk time DESCENDING so "last right seen" is
+    # the nearest later one; tiebreak flips so the earliest wins.
+    backward = direction == "backward"
+    order = [
+        F.col("__ts").asc() if backward else F.col("__ts").desc(),
+        F.col("__side"),
+        F.col("__tie").asc_nulls_first() if backward
+        else F.col("__tie").desc_nulls_first(),
+    ]
     w = (
         Window.partitionBy("__key")
-        .orderBy(
-            F.col("__ts"), F.col("__side"), F.col("__tie").asc_nulls_first()
-        )
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tagged.unionByName(r_tagged).select(

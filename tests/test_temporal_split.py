@@ -375,3 +375,54 @@ def test_char_entropy_differential_twin(spark):
         s = sum(k * math.log(k) for k in Counter(text).values())
         exp = math.log(n) - s / n
         assert abs(got[doc_id] - exp) < 1e-9, doc_id
+
+
+def test_asof_join_forward_direction(spark):
+    from schematic_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 5, _ts(10.0)),   # next rights at 20, 30 → picks 20
+            (2, 5, _ts(30.0)),   # strict: right at 30 excluded → 40
+            (3, 5, _ts(99.0)),   # nothing later → null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (70, 5, _ts(20.0), "a"),
+            (71, 5, _ts(30.0), "b"),
+            (72, 5, _ts(40.0), "c"),
+        ],
+        "rid long, user_id long, ts timestamp, payload string",
+    )
+    fwd = asof_join(
+        left, right, on="user_id", right_cols=("rid", "payload"),
+        strict=True, tiebreak_col="rid", direction="forward",
+    )
+    got = {r.event_id: r.rid_asof for r in fwd.collect()}
+    assert got == {1: 70, 2: 72, 3: None}
+
+    incl = asof_join(
+        left, right, on="user_id", right_cols=("rid",),
+        strict=False, tiebreak_col="rid", direction="forward",
+    )
+    got = {r.event_id: r.rid_asof for r in incl.collect()}
+    assert got == {1: 70, 2: 71, 3: None}
+
+
+def test_asof_join_forward_equal_ts_earliest_tiebreak_wins(spark):
+    from schematic_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts(0.0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(70, 5, _ts(3.0), "x"), (71, 5, _ts(3.0), "y")],
+        "rid long, user_id long, ts timestamp, payload string",
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=("rid",),
+        tiebreak_col="rid", direction="forward",
+    ).collect()
+    assert out[0].rid_asof == 70
