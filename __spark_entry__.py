@@ -942,6 +942,38 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_curation_funnel_documents(spark, sf_dir):
+    """The data-curation story end-to-end: every document is dropped by
+    the FIRST failing filter (lang allowlist → quality score →
+    repetition → entropy) or kept; per-lang funnel counts. One
+    projection evaluates each signal once, one hash-agg. Comparisons
+    use the same roundings the individual oracles pin, so the funnel
+    is bit-deterministic across engines."""
+    from schematic_spark.functions import (
+        char_entropy, quality_score, repetition_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    rep = repetition_features("text")
+    reason = (
+        F.when(~F.col("lang").isin(*_DOC_LANGS), F.lit("lang"))
+        .when(F.round(quality_score("text"), 6) < 0.81, F.lit("quality"))
+        .when(F.round(rep["top_word_share"], 5) > 0.13,
+              F.lit("repetition"))
+        .when(F.round(char_entropy("text"), 5) < 2.75, F.lit("entropy"))
+        .otherwise(F.lit("kept"))
+    )
+    j = docs.select("lang", reason.alias("reason"))
+    flag = lambda v: F.sum(  # noqa: E731
+        (F.col("reason") == v).cast("long")
+    ).alias(f"n_drop_{v}" if v != "kept" else "n_kept")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        flag("lang"), flag("quality"), flag("repetition"),
+        flag("entropy"), flag("kept"),
+    )
+
+
 def _q_value_outliers_by_type(spark, sf_dir):
     """IQR outlier report per event type: exact quartiles → Tukey
     fences (q1 - 1.5·IQR, q3 + 1.5·IQR) → broadcast the tiny bounds
@@ -1086,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_documents": _q_entropy_documents,
         "error_events_in_sessions": _q_error_events_in_sessions,
         "value_outliers_by_type": _q_value_outliers_by_type,
+        "curation_funnel_documents": _q_curation_funnel_documents,
     }
 
 
@@ -1190,7 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN s_{l} >= 0.01 AND s_{l} = best THEN '{l}'"
         for l in _LANG_MARKERS
     )
-    return {
+    out = {
         "validate_documents": f"""
             SELECT doc_id, '.text' AS json_path,
                    'length should be >= 1' AS error
@@ -2191,3 +2224,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.event_type
         """,
     }
+
+    out["curation_funnel_documents"] = f"""
+        WITH q AS ({out["quality_score_documents"]}),
+        r AS ({out["repetition_documents"]}),
+        h AS ({out["entropy_documents"]}),
+        j AS (
+          SELECT d.lang,
+                 CASE WHEN d.lang NOT IN ('en','de','fr','es')
+                        THEN 'lang'
+                      WHEN q.q_score < 0.81 THEN 'quality'
+                      WHEN r.top_word_share > 0.13 THEN 'repetition'
+                      WHEN h.entropy < 2.75 THEN 'entropy'
+                      ELSE 'kept' END AS reason
+          FROM documents d
+          JOIN q USING (doc_id)
+          JOIN r USING (doc_id)
+          JOIN h USING (doc_id))
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN reason = 'lang' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_lang,
+               CAST(sum(CASE WHEN reason = 'quality' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_quality,
+               CAST(sum(CASE WHEN reason = 'repetition' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_repetition,
+               CAST(sum(CASE WHEN reason = 'entropy' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_entropy,
+               CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM j GROUP BY lang
+    """
+    return out
