@@ -471,6 +471,19 @@ def _q_near_dup_components_embeddings(spark, sf_dir):
     )
 
 
+def _q_dedup_survivors_embeddings(spark, sf_dir):
+    """The dedup POLICY end-to-end: pair discovery → connected
+    components → keep-one-per-cluster (min id; plain left_anti, no
+    forced broadcast — AQE decides). Returns the surviving rows; the
+    oracle recomputes survivors from the recursive-CTE components."""
+    from schematic_spark.functions import drop_near_duplicates
+
+    pairs = _q_embedding_near_pairs_by_label(spark, sf_dir) \
+        .select("id_a", "id_b")
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return drop_near_duplicates(emb, pairs, id_col="vec_id")
+
+
 # --- formerly rows-only; all five now carry DuckDB oracles -----------------
 
 #: parquet dump of the deterministic generated table, shared with the
@@ -1119,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_events_in_sessions": _q_error_events_in_sessions,
         "value_outliers_by_type": _q_value_outliers_by_type,
         "curation_funnel_documents": _q_curation_funnel_documents,
+        "dedup_survivors_embeddings": _q_dedup_survivors_embeddings,
     }
 
 
@@ -2224,6 +2238,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.event_type
         """,
     }
+
+    out["dedup_survivors_embeddings"] = """
+        WITH RECURSIVE e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a JOIN e b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v)
+                / greatest(sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)),
+                           1e-12) >= 0.4),
+        und AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src AS node, src AS lbl
+          FROM (SELECT DISTINCT src FROM und)
+          UNION
+          SELECT r.node, u.dst FROM reach r
+          JOIN und u ON u.src = r.lbl),
+        comp AS (SELECT node, min(lbl) AS component
+                 FROM reach GROUP BY node),
+        losers AS (SELECT node FROM comp WHERE node <> component)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
 
     out["curation_funnel_documents"] = f"""
         WITH q AS ({out["quality_score_documents"]}),
