@@ -902,8 +902,10 @@ def _q_lsh_topk_embeddings(spark, sf_dir):
     from schematic_spark.functions import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    q = [float(x) for x in
-         emb.orderBy("vec_id").select("embedding").first()[0]]
+    row = emb.orderBy("vec_id").select("embedding").first()
+    if row is None:
+        raise ValueError("embeddings table is empty — no query vector")
+    q = [float(x) for x in row[0]]
     out = lsh_topk(
         emb, q, k=10, n_planes=12, seed=42, probe_radius=1
     )
@@ -919,8 +921,10 @@ def _q_ivf_topk_embeddings(spark, sf_dir):
     from schematic_spark.functions import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    q = [float(x) for x in
-         emb.orderBy("vec_id").select("embedding").first()[0]]
+    row = emb.orderBy("vec_id").select("embedding").first()
+    if row is None:
+        raise ValueError("embeddings table is empty — no query vector")
+    q = [float(x) for x in row[0]]
     cent = np.random.RandomState(7).randn(8, 64)
     out = ivf_topk(emb, q, cent, k=10, n_probe=3)
     return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
@@ -2061,13 +2065,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE side = 0
         """,
         "train_split_documents": """
+            -- '||' (not concat): DuckDB concat SKIPS null args while
+            -- Spark concat is null-propagating; a NULL doc_id must
+            -- yield a NULL split on both sides
             WITH s AS (
               SELECT lang, n_chars,
-                     CAST(concat('0x',
-                          substr(md5(concat('r3', doc_id)), 1, 15))
+                     CAST('0x' ||
+                          substr(md5('r3' || doc_id), 1, 15)
                           AS BIGINT) % 1000 AS b
               FROM documents)
-            SELECT CASE WHEN b < 900 THEN 'train'
+            SELECT CASE WHEN b IS NULL THEN NULL
+                        WHEN b < 900 THEN 'train'
                         WHEN b < 950 THEN 'val'
                         ELSE 'test' END AS split,
                    lang,
@@ -2099,7 +2107,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM f, n)
             SELECT lang, term, tf, df_docs, tfidf FROM s WHERE rn <= 5
         """,
-        "chunked_interleaved_docs": """
+        "chunked_interleaved_docs": f"""
             -- doc_id is NOT unique (generator plants hot keys); the
             -- greedy walk is per physical ROW, so give each row an
             -- arbitrary-but-unique rid — the final (doc_id, chunk)
@@ -2107,7 +2115,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE base AS (
               SELECT row_number() OVER () AS rid, doc_id, spans
               FROM read_parquet(
-                '/tmp/schematic_spark_oracle/interleaved_5000/*.parquet')),
+                '{_ORACLE_TMP}/interleaved_{_INTERLEAVED_N}/*.parquet')),
             sp AS (
               SELECT rid, doc_id, i,
                      coalesce(length(spans[i].text), 16) AS cost,
@@ -2138,7 +2146,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, n_chars,
                      row_number() OVER (
                        PARTITION BY source
-                       ORDER BY md5(concat('mix', doc_id)), doc_id) AS rn
+                       ORDER BY md5('mix' || doc_id) NULLS FIRST,
+                                doc_id NULLS FIRST) AS rn
               FROM documents)
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_kept,
@@ -2146,12 +2155,17 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= 10 GROUP BY source
         """,
         "repetition_documents": """
+            -- empty/whitespace-only text: str_split_regex gives ['']
+            -- (one bogus word) — mirror the engine's n_words=0 guard
             WITH w AS (
               SELECT doc_id,
-                     str_split_regex(trim(text), '\\s+') AS words
+                     str_split_regex(trim(text), '\\s+') AS words,
+                     (length(trim(text)) = 0) AS is_empty
               FROM documents),
             base AS (
-              SELECT doc_id, len(words) AS n_words,
+              SELECT doc_id, is_empty, words,
+                     CASE WHEN is_empty THEN 0
+                          ELSE len(words) END AS n_words,
                      len(list_distinct(words)) AS nd,
                      CASE WHEN len(words) > 1 THEN
                        list_transform(
@@ -2159,23 +2173,28 @@ def oracle_sql() -> dict[str, str]:
                          i -> words[i] || ' ' || words[i + 1])
                      ELSE []::VARCHAR[] END AS bigrams
               FROM w),
-            top AS (
-              SELECT doc_id, max(cnt) AS topc FROM (
-                SELECT doc_id, word, count(*) AS cnt
-                FROM (SELECT doc_id, unnest(words) AS word FROM w)
-                GROUP BY doc_id, word)
-              GROUP BY doc_id)
+            -- topc row-locally (no per-doc join: doc_id may be NULL,
+            -- and NULL join keys never match)
+            withtop AS (
+              SELECT *, CASE WHEN is_empty THEN 0 ELSE
+                     list_max(list_transform(list_distinct(words),
+                       w -> len(list_filter(words, x -> x = w))))
+                     END AS topc
+              FROM base)
             SELECT b.doc_id,
                    CAST(b.n_words AS INT) AS n_words,
-                   round(b.nd / greatest(b.n_words, 1), 5)
-                     AS distinct_ratio,
-                   round(coalesce(t.topc, 0) / greatest(b.n_words, 1), 5)
-                     AS top_word_share,
-                   CASE WHEN len(b.bigrams) > 0
+                   CASE WHEN b.n_words = 0 THEN 0.0
+                        ELSE round(b.nd / greatest(b.n_words, 1), 5)
+                   END AS distinct_ratio,
+                   CASE WHEN b.n_words = 0 THEN 0.0
+                        ELSE round(coalesce(b.topc, 0)
+                                   / greatest(b.n_words, 1), 5)
+                   END AS top_word_share,
+                   CASE WHEN b.n_words > 0 AND len(b.bigrams) > 0
                         THEN round(1.0 - len(list_distinct(b.bigrams))
                                    / len(b.bigrams), 5)
                         ELSE 0.0 END AS dup_bigram_ratio
-            FROM base b LEFT JOIN top t USING (doc_id)
+            FROM withtop b
         """,
         "entropy_documents": """
             WITH ch AS (
