@@ -16,8 +16,11 @@ Physical strategy — the *union interleave*, not a range join:
   ``(ts, side, tiebreak)``, and the right-hand payload is carried
   forward with ``last(..., ignoreNulls)`` over an unbounded-preceding
   window. Cost: ONE shuffle on the key (the window exchange), output
-  linear in |left| + |right|, no pair blowup. Skewed keys are handled
-  by AQE the same way any single window over a key is.
+  linear in |left| + |right|, no pair blowup. Like any per-key window
+  the carry is sequential within a key, so one pathological hot key is
+  a single-reducer straggler — still linear work (vs the quadratic
+  naive join), but if a single key dominates the corpus, range-bucket
+  the time axis first and stitch bucket boundaries.
 
 The carried payload is ONE struct column (non-null exactly for right
 rows), so right columns that are legitimately NULL are still carried

@@ -18,6 +18,13 @@ same hash partitioning (group keys are a superset of the partition key),
 so Catalyst plans zero additional exchanges — asserted in
 ``tests/test_plan_shape.py``. Gap arithmetic is done in integral
 microseconds (``unix_micros``) — no float timestamps, no DST surprises.
+
+Skew caveat: sessionization is inherently sequential per actor, so one
+actor with billions of events is a single-reducer straggler no salting
+can fix (a session may cross any split point). At that scale either
+bound the actor key first (e.g. cap events per actor) or use the
+streaming form (``streaming.session_counts_stream``), whose state is
+per-open-session rather than per-history.
 """
 
 from __future__ import annotations
