@@ -959,6 +959,78 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the canonical OLAP hash-agg.
+    All money math in DECIMAL so sums are exact (bit-identical across
+    engines and partition orders; double sums are order-dependent);
+    averages derived as exact-sum / count at the end. One scan, one
+    partial+final hash-agg."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    one = F.lit(1).cast("decimal(8,4)")
+    disc_price = price * (one - disc)
+    charge = disc_price * (one + tax)
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sp"),
+        F.sum(disc_price).alias("_sd"),
+        F.sum(charge).alias("_sc"),
+        F.sum(disc).alias("_sdisc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order").cast("double")
+    return g.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("_sq").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("_sp").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("_sd").cast("double"), 4).alias("sum_disc_price"),
+        F.round(F.col("_sc").cast("double"), 6).alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("_sp").cast("double") / n, 6).alias("avg_price"),
+        F.round(F.col("_sdisc").cast("double") / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def _q_tpch_q3_revenue(spark, sf_dir):
+    """TPC-H Q3-style shipping-priority: 3-way join (broadcast the
+    filtered customer dim), exact-decimal revenue, deterministic top-10."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(8,4)")
+           - F.col("l_discount").cast("decimal(8,4)"))
+    )
+    j = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    g = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(rev).alias("_rev")
+    )
+    return (
+        g.orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
 def _q_curation_funnel_documents(spark, sf_dir):
     """The data-curation story end-to-end: every document is dropped by
     the FIRST failing filter (lang allowlist → quality score →
@@ -1137,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_by_type": _q_value_outliers_by_type,
         "curation_funnel_documents": _q_curation_funnel_documents,
         "dedup_survivors_embeddings": _q_dedup_survivors_embeddings,
+        "tpch_q1_pricing": _q_tpch_q1_pricing,
+        "tpch_q3_revenue": _q_tpch_q3_revenue,
     }
 
 
@@ -2284,6 +2358,57 @@ def oracle_sql() -> dict[str, str]:
         losers AS (SELECT node FROM comp WHERE node <> component)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+    out["tpch_q1_pricing"] = """
+        WITH l AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(18,4)) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+                 CAST(l_discount AS DECIMAL(8,4)) AS disc,
+                 CAST(l_tax AS DECIMAL(8,4)) AS tax
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+        g AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(qty) AS sq, sum(price) AS sp,
+                 sum(price * (CAST(1 AS DECIMAL(8,4)) - disc)) AS sd,
+                 sum(price * (CAST(1 AS DECIMAL(8,4)) - disc)
+                     * (CAST(1 AS DECIMAL(8,4)) + tax)) AS sc,
+                 sum(disc) AS sdisc,
+                 CAST(count(*) AS BIGINT) AS count_order
+          FROM l GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sq AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sp AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(sd AS DOUBLE), 4) AS sum_disc_price,
+               round(CAST(sc AS DOUBLE), 6) AS sum_charge,
+               round(CAST(sq AS DOUBLE) / count_order, 6) AS avg_qty,
+               round(CAST(sp AS DOUBLE) / count_order, 6) AS avg_price,
+               round(CAST(sdisc AS DOUBLE) / count_order, 6) AS avg_disc,
+               count_order
+        FROM g
+    """
+
+    out["tpch_q3_revenue"] = """
+        WITH g AS (
+          SELECT l.l_orderkey, o.o_orderdate,
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(8,4))
+                        - CAST(l.l_discount AS DECIMAL(8,4)))) AS rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l.l_orderkey, o.o_orderdate)
+        SELECT l_orderkey,
+               round(CAST(rev AS DOUBLE), 4) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM g
+        ORDER BY rev DESC, l_orderkey
+        LIMIT 10
     """
 
     out["curation_funnel_documents"] = f"""
