@@ -959,6 +959,60 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_rolling_7d_events(spark, sf_dir):
+    """RANGE-frame window coverage: per event, how many events the same
+    user produced in the preceding 7 days (inclusive) — the rolling
+    feature a frequency-capping pipeline computes. Range frames bound
+    by event-time micros are tie-safe (equal timestamps always share a
+    frame, no ordering ambiguity). One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    from schematic_spark.functions.timeops import epoch_micros
+
+    ev = _read(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"), ev.schema["ts"].dataType)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+def _q_value_deciles_by_type(spark, sf_dir):
+    """ntile coverage: equi-depth decile binning of event values per
+    type (feature bucketing); deterministic via (value, event_id) total
+    order; per-bucket count + bounds."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+def _q_user_event_type_pivot(spark, sf_dir):
+    """Pivot coverage: per-user event-type count matrix (wide feature
+    row per user) — groupBy().pivot() with an explicit value list so
+    the schema is static (no extra distinct scan)."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = ev.groupBy("user_id").pivot("event_type", types).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
 def _q_tpch_q1_pricing(spark, sf_dir):
     """TPC-H Q1-style pricing summary — the canonical OLAP hash-agg.
     All money math in DECIMAL so sums are exact (bit-identical across
@@ -1211,6 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_embeddings": _q_dedup_survivors_embeddings,
         "tpch_q1_pricing": _q_tpch_q1_pricing,
         "tpch_q3_revenue": _q_tpch_q3_revenue,
+        "rolling_7d_events": _q_rolling_7d_events,
+        "value_deciles_by_type": _q_value_deciles_by_type,
+        "user_event_type_pivot": _q_user_event_type_pivot,
     }
 
 
@@ -2358,6 +2415,43 @@ def oracle_sql() -> dict[str, str]:
         losers AS (SELECT node FROM comp WHERE node <> component)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+    out["rolling_7d_events"] = """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_7d
+        FROM events
+    """
+
+    out["value_deciles_by_type"] = """
+        WITH d AS (
+          SELECT event_type, value,
+                 ntile(10) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS decile
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_type, decile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 2) AS lo,
+               round(max(value), 2) AS hi
+        FROM d GROUP BY event_type, decile
+    """
+
+    out["user_event_type_pivot"] = """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error
+        FROM events GROUP BY user_id
     """
 
     out["tpch_q1_pricing"] = """
