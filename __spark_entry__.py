@@ -1068,9 +1068,12 @@ def _q_tpch_q3_revenue(spark, sf_dir):
         * (F.lit(1).cast("decimal(8,4)")
            - F.col("l_discount").cast("decimal(8,4)"))
     )
+    # no broadcast hint: the filtered customer dim scales with the
+    # corpus — AQE broadcasts only when it actually fits (and does so
+    # at test scale; see the no-forced-broadcast rule in CLAUDE.md)
     j = li.join(
         orders, li["l_orderkey"] == orders["o_orderkey"]
-    ).join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    ).join(cust, orders["o_custkey"] == cust["c_custkey"])
     g = j.groupBy("l_orderkey", "o_orderdate").agg(
         F.sum(rev).alias("_rev")
     )
@@ -1123,13 +1126,20 @@ def _q_value_outliers_by_type(spark, sf_dir):
     frame back over the events for counts and extremes. Two scans, one
     broadcast — the bounds never shuffle the fact table."""
     ev = _read(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # fences rounded to 6 BEFORE comparing: cross-engine percentile
+    # interpolation can differ in the last ulp, and the driver contract
+    # is round-identically-then-compare
     bounds = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.25)).alias("q1"),
         F.percentile("value", F.lit(0.75)).alias("q3"),
     ).select(
         "event_type",
-        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
-        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        F.round(
+            F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6
+        ).alias("lo"),
+        F.round(
+            F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6
+        ).alias("hi"),
     )
     flagged = ev.join(F.broadcast(bounds), "event_type").where(
         (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
@@ -2328,20 +2338,25 @@ def oracle_sql() -> dict[str, str]:
             FROM withtop b
         """,
         "entropy_documents": """
-            WITH ch AS (
-              SELECT doc_id, unnest(str_split(text, '')) AS c
+            -- keyed by physical row (rid), not doc_id: NULL ids never
+            -- match a join key and duplicate ids would merge rows
+            WITH base AS (
+              SELECT row_number() OVER () AS rid, doc_id, text
               FROM documents),
-            cnt AS (SELECT doc_id, c, count(*) AS k
-                    FROM ch GROUP BY doc_id, c),
-            agg AS (SELECT doc_id, sum(k * ln(k)) AS s,
+            ch AS (
+              SELECT rid, unnest(str_split(text, '')) AS c
+              FROM base),
+            cnt AS (SELECT rid, c, count(*) AS k
+                    FROM ch GROUP BY rid, c),
+            agg AS (SELECT rid, sum(k * ln(k)) AS s,
                            sum(k) AS n
-                    FROM cnt GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(length(d.text) AS INT) AS n_chars_text,
+                    FROM cnt GROUP BY rid)
+            SELECT b.doc_id,
+                   CAST(length(b.text) AS INT) AS n_chars_text,
                    round(CASE WHEN a.n > 0
                               THEN ln(a.n) - a.s / a.n
                               ELSE 0 END, 5) AS entropy
-            FROM documents d LEFT JOIN agg a USING (doc_id)
+            FROM base b LEFT JOIN agg a USING (rid)
         """,
         "error_events_in_sessions": """
             WITH ne AS (
@@ -2383,8 +2398,8 @@ def oracle_sql() -> dict[str, str]:
                    round(max(e.value), 6) AS max_outlier
             FROM events e JOIN b USING (event_type)
             WHERE e.value IS NOT NULL
-              AND (e.value < b.q1 - 1.5 * (b.q3 - b.q1)
-                   OR e.value > b.q3 + 1.5 * (b.q3 - b.q1))
+              AND (e.value < round(b.q1 - 1.5 * (b.q3 - b.q1), 6)
+                   OR e.value > round(b.q3 + 1.5 * (b.q3 - b.q1), 6))
             GROUP BY e.event_type
         """,
     }
@@ -2505,22 +2520,68 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
 
-    out["curation_funnel_documents"] = f"""
-        WITH q AS ({out["quality_score_documents"]}),
-        r AS ({out["repetition_documents"]}),
-        h AS ({out["entropy_documents"]}),
+    # one shared rid base: the three signals are derived from the SAME
+    # scan and re-joined on the physical row id — joining the
+    # standalone per-doc_id oracles would silently drop NULL-id rows
+    # and merge duplicate-id rows (parity bugs the engine, which is
+    # row-local, does not have)
+    out["curation_funnel_documents"] = r"""
+        WITH base AS (
+          SELECT row_number() OVER () AS rid, doc_id, lang, text
+          FROM documents),
+        q AS (
+          SELECT rid,
+                 greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe,
+                 len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                 len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                 len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                 len(regexp_extract_all(text,
+                   '(?i)\b(the|of|and|to|in|a|is|that|it|for|was|on|are|with|as|be|this|at|by)\b'))
+                   AS n_stop,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text),
+                               '\s+')) END AS n_tokens
+          FROM base),
+        qs AS (
+          SELECT rid, round(
+              least(n_tokens / 20.0, 1.0) * 0.2
+            + (n_alpha / safe) * 0.3
+            + (1.0 - least(n_punct / safe * 4, 1.0)) * 0.2
+            + (1.0 - least(n_digit / safe * 4, 1.0)) * 0.15
+            + least(n_stop / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+                    * 3, 1.0) * 0.15, 6) AS q_score
+          FROM q),
+        r AS (
+          SELECT rid,
+                 CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                   round(list_max(list_transform(
+                       list_distinct(str_split_regex(trim(text), '\s+')),
+                       w -> len(list_filter(
+                              str_split_regex(trim(text), '\s+'),
+                              x -> x = w))))
+                     / greatest(len(str_split_regex(trim(text), '\s+')),
+                                1), 5)
+                 END AS top_word_share
+          FROM base),
+        ch AS (SELECT rid, unnest(str_split(text, '')) AS c FROM base),
+        cnt AS (SELECT rid, c, count(*) AS k FROM ch GROUP BY rid, c),
+        ent AS (SELECT rid,
+                       round(ln(sum(k)) - sum(k * ln(k)) / sum(k), 5)
+                         AS entropy
+                FROM cnt GROUP BY rid),
         j AS (
-          SELECT d.lang,
-                 CASE WHEN d.lang NOT IN ('en','de','fr','es')
+          SELECT b.lang,
+                 CASE WHEN b.lang NOT IN ('en','de','fr','es')
                         THEN 'lang'
-                      WHEN q.q_score < 0.81 THEN 'quality'
+                      WHEN qs.q_score < 0.81 THEN 'quality'
                       WHEN r.top_word_share > 0.13 THEN 'repetition'
-                      WHEN h.entropy < 2.75 THEN 'entropy'
+                      WHEN coalesce(h.entropy, 0.0) < 2.75
+                        THEN 'entropy'
                       ELSE 'kept' END AS reason
-          FROM documents d
-          JOIN q USING (doc_id)
-          JOIN r USING (doc_id)
-          JOIN h USING (doc_id))
+          FROM base b
+          JOIN qs USING (rid)
+          JOIN r USING (rid)
+          LEFT JOIN ent h USING (rid))
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_total,
                CAST(sum(CASE WHEN reason = 'lang' THEN 1 ELSE 0 END)
