@@ -322,3 +322,30 @@ class TestClusteredLayout:
             if h1 > l2
         )
         assert overlapping >= 1, pranges
+
+
+class TestTpchPlans:
+    def test_q3_no_forced_broadcast_hint(self, spark):
+        """The filtered customer dim scales with the corpus: the join
+        must not carry a broadcast HINT (AQE still picks broadcast at
+        toy scale, which is exactly the point — runtime choice, not a
+        hardcoded one)."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["tpch_q3_revenue"](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed
+        assert "UnresolvedHint" not in analyzed
+
+    def test_q1_decimal_sums_no_double_aggregation(self, spark):
+        """Money aggregates must run in DECIMAL (exact, partition-order
+        independent) — a sum(double) in the agg would reintroduce
+        order-dependent results."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["tpch_q1_pricing"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        agg_lines = [ln for ln in plan.splitlines() if "sum(" in ln]
+        assert agg_lines, plan
+        for ln in agg_lines:
+            assert "decimal" in ln, ln
