@@ -959,6 +959,22 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_packed_batches_documents(spark, sf_dir):
+    """Cross-document batch packing (functions/sampling.py): md5-shard
+    then budget-bin by n_chars within each shard; per-(shard, batch)
+    report. Deterministic across engines/layouts; one shuffle."""
+    from schematic_spark.functions import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = pack_documents(
+        docs, token_col="n_chars", budget=2048, shards=8
+    )
+    return packed.groupBy("shard", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def _q_rolling_7d_events(spark, sf_dir):
     """RANGE-frame window coverage: per event, how many events the same
     user produced in the preceding 7 days (inclusive) — the rolling
@@ -1276,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": _q_tpch_q1_pricing,
         "tpch_q3_revenue": _q_tpch_q3_revenue,
         "rolling_7d_events": _q_rolling_7d_events,
+        "packed_batches_documents": _q_packed_batches_documents,
         "value_deciles_by_type": _q_value_deciles_by_type,
         "user_event_type_pivot": _q_user_event_type_pivot,
     }
@@ -2430,6 +2447,28 @@ def oracle_sql() -> dict[str, str]:
         losers AS (SELECT node FROM comp WHERE node <> component)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+    out["packed_batches_documents"] = """
+        WITH s AS (
+          SELECT n_chars,
+                 CAST('0x' ||
+                      substr(md5('pack' || doc_id), 1, 15)
+                      AS BIGINT) % 8 AS shard,
+                 md5('pack' || doc_id) AS ok, doc_id
+          FROM documents),
+        b AS (
+          SELECT shard, n_chars,
+                 CAST(floor(coalesce(sum(n_chars) OVER (
+                     PARTITION BY shard
+                     ORDER BY ok NULLS FIRST, doc_id NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) / 2048) AS INT) AS batch_idx
+          FROM s)
+        SELECT shard, batch_idx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM b GROUP BY shard, batch_idx
     """
 
     out["rolling_7d_events"] = """

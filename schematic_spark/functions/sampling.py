@@ -28,6 +28,47 @@ def _order_key(id_col: str, salt: str) -> Column:
     return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
 
 
+def pack_documents(
+    df: DataFrame,
+    *,
+    token_col: str,
+    budget: int,
+    shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Cross-document training-batch packing: append ``shard`` and
+    ``batch_idx`` so each (shard, batch) holds consecutive documents
+    whose token budget is ~``budget``.
+
+    Exact global greedy packing is inherently sequential, so the
+    scalable formulation shards first (stable md5 shard of the id —
+    engine-portable, unlike xxhash) and packs within each shard by
+    budget-binning over a deterministic md5 order:
+    ``batch = floor(cum_tokens_before / budget)``. A batch may overrun
+    by at most one document (the straddler) — the standard
+    approximation; batch composition is stable across engines, runs,
+    and cluster layouts. One shuffle (the per-shard window).
+    """
+    from schematic_spark.functions.split import split_bucket
+
+    shard = split_bucket(
+        F.col(id_col), denominator=shards, salt=salt
+    ).alias("shard")
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(_order_key(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col)).over(w), F.lit(0)
+    )
+    return out.withColumn(
+        "batch_idx", F.floor(cum_before / F.lit(budget)).cast("int")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     *,

@@ -253,3 +253,59 @@ class TestBucketedIntervalJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestPackDocuments:
+    def test_budget_binning_and_overrun_bound(self, spark):
+        from schematic_spark.functions import pack_documents
+
+        df = spark.createDataFrame(
+            [(f"d{i}", 100 + (i % 7) * 50) for i in range(200)],
+            "doc_id string, n_tok int",
+        )
+        packed = pack_documents(
+            df, token_col="n_tok", budget=500, shards=4
+        ).collect()
+        # per (shard,batch): total tokens < budget + max single doc
+        from collections import defaultdict
+        agg = defaultdict(int)
+        for r in packed:
+            agg[(r.shard, r.batch_idx)] += r.n_tok
+        max_doc = 100 + 6 * 50
+        for tot in agg.values():
+            assert tot < 500 + max_doc
+        # batches within a shard are dense from 0
+        by_shard = defaultdict(set)
+        for (s, b) in agg:
+            by_shard[s].add(b)
+        for s, bs in by_shard.items():
+            assert bs == set(range(max(bs) + 1)), (s, bs)
+
+    def test_pack_matches_hashlib_twin(self, spark):
+        import hashlib
+
+        from schematic_spark.functions import pack_documents
+
+        rows = [(f"doc{i}", 10 + i % 5) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+        got = {r.doc_id: (r.shard, r.batch_idx) for r in pack_documents(
+            df, token_col="n_tok", budget=40, shards=3,
+            salt="s").collect()}
+
+        def bucket(d):
+            return int(hashlib.md5(("s" + d).encode())
+                       .hexdigest()[:15], 16) % 3
+
+        from collections import defaultdict
+        shard_docs = defaultdict(list)
+        for d, t in rows:
+            shard_docs[bucket(d)].append((d, t))
+        exp = {}
+        for s, docs in shard_docs.items():
+            docs.sort(key=lambda dt: (
+                hashlib.md5(("s" + dt[0]).encode()).hexdigest(), dt[0]))
+            cum = 0
+            for d, t in docs:
+                exp[d] = (s, cum // 40)
+                cum += t
+        assert got == exp
