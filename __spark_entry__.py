@@ -959,6 +959,25 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_contamination_src0(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py): treat source
+    'src0' as the eval set; corpus docs sharing any exact word 8-gram
+    with it are contamination hits. One gram equi-join; per corpus doc:
+    how many benchmark docs it leaks and total shared grams."""
+    from schematic_spark.functions import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=8,
+    )
+    return pairs.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_bench_docs"),
+        F.sum("n_shared").cast("long").alias("n_shared_grams"),
+    )
+
+
 def _q_packed_batches_documents(spark, sf_dir):
     """Cross-document batch packing (functions/sampling.py): md5-shard
     then budget-bin by n_chars within each shard; per-(shard, batch)
@@ -1293,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_revenue": _q_tpch_q3_revenue,
         "rolling_7d_events": _q_rolling_7d_events,
         "packed_batches_documents": _q_packed_batches_documents,
+        "contamination_src0": _q_contamination_src0,
         "value_deciles_by_type": _q_value_deciles_by_type,
         "user_event_type_pivot": _q_user_event_type_pivot,
     }
@@ -2447,6 +2467,31 @@ def oracle_sql() -> dict[str, str]:
         losers AS (SELECT node FROM comp WHERE node <> component)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+    out["contamination_src0"] = r"""
+        WITH nrm AS (
+          SELECT doc_id, source,
+                 str_split(coalesce(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^\w\s]', '', 'g'),
+                   '\s+', ' ', 'g')), ''), ' ') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, source, unnest(list_distinct([
+            array_to_string(t[i:i+7], ' ')
+            for i in generate_series(1, greatest(len(t) - 7, 0))]))
+            AS gram
+          FROM nrm),
+        hits AS (
+          SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+                 count(*) AS n_shared
+          FROM g c JOIN g b ON c.gram = b.gram
+          WHERE c.source <> 'src0' AND b.source = 'src0'
+          GROUP BY c.doc_id, b.doc_id)
+        SELECT corpus_id,
+               CAST(count(*) AS BIGINT) AS n_bench_docs,
+               CAST(sum(n_shared) AS BIGINT) AS n_shared_grams
+        FROM hits GROUP BY corpus_id
     """
 
     out["packed_batches_documents"] = """

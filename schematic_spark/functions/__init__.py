@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     minhash_near_duplicates,
     minhash_signature,
+    ngram_contamination,
     ngram_jaccard_pairs,
     drop_near_duplicates,
     near_duplicate_components,

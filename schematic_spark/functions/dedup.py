@@ -744,3 +744,55 @@ def drop_near_duplicates(
     losers = comp.where(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_gram_group: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    exact word ``n``-gram with any benchmark document — the standard
+    pre-training hygiene check (drop training docs that leak eval
+    data). Returns ``(corpus_id, bench_id, n_shared)`` pairs.
+
+    Scale shape: both sides reduce to (distinct-gram, id) rows — the
+    token arrays are materialized as columns before the gram HOF (the
+    repo's CSE rule) — and meet in ONE equi-join on the gram string;
+    shuffle volume is linear in total distinct grams. Boilerplate grams
+    (present in a huge share of docs) create hot join keys: pass
+    ``max_gram_group`` to drop grams whose total occurrence count
+    exceeds it (the winnowing cap pattern); the drop is explicit in the
+    plan, never silent — leave it None to keep exact recall.
+    """
+    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias(out_id),
+            tokens_column(text_col).alias("_t"),
+        )
+        return toks.select(
+            out_id,
+            F.explode(shingles_from_tokens(F.col("_t"), n)).alias("gram"),
+        )
+
+    cg = gram_rows(corpus, "corpus_id")
+    bg = gram_rows(benchmark, "bench_id")
+    if max_gram_group is not None:
+        both = cg.select("gram").unionAll(bg.select("gram"))
+        hot = (
+            both.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_gram_group)
+            .select("gram")
+        )
+        cg = cg.join(hot, "gram", "left_anti")
+        bg = bg.join(hot, "gram", "left_anti")
+    return (
+        cg.join(bg, "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

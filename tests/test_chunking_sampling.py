@@ -309,3 +309,43 @@ class TestPackDocuments:
                 exp[d] = (s, cum // 40)
                 cum += t
         assert got == exp
+
+
+class TestContamination:
+    def test_detects_shared_ngram_and_cap(self, spark):
+        from schematic_spark.functions import ngram_contamination
+
+        bench = spark.createDataFrame(
+            [("b1", "alpha beta gamma delta epsilon zeta")],
+            "doc_id string, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                ("c1", "xx alpha beta gamma delta epsilon zeta yy"),
+                ("c2", "totally different words here entirely now"),
+            ],
+            "doc_id string, text string",
+        )
+        hits = ngram_contamination(corpus, bench, n=5).collect()
+        got = {(r.corpus_id, r.bench_id): r.n_shared for r in hits}
+        # c1 shares the 5-grams [alpha..epsilon] and [beta..zeta]
+        assert got == {("c1", "b1"): 2}
+
+        # a cap of 1 drops grams occurring >1 time overall; both shared
+        # grams occur twice (once per side) -> no hits survive
+        capped = ngram_contamination(
+            corpus, bench, n=5, max_gram_group=1
+        ).collect()
+        assert capped == []
+
+    def test_no_false_positive_below_n(self, spark):
+        from schematic_spark.functions import ngram_contamination
+
+        bench = spark.createDataFrame(
+            [("b1", "one two three four")], "doc_id string, text string"
+        )
+        corpus = spark.createDataFrame(
+            [("c1", "one two three NOPE four")],
+            "doc_id string, text string",
+        )
+        assert ngram_contamination(corpus, bench, n=4).count() == 0

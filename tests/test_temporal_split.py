@@ -426,3 +426,46 @@ def test_asof_join_forward_equal_ts_earliest_tiebreak_wins(spark):
         tiebreak_col="rid", direction="forward",
     ).collect()
     assert out[0].rid_asof == 70
+
+
+def test_asof_join_differential_twin_random(spark):
+    """Random events through asof_join vs a brute-force Python twin —
+    all four (strict, direction) combinations."""
+    import random
+
+    rng = random.Random(4242)
+    left = [(i, rng.randint(1, 5), _ts(rng.randint(0, 50)))
+            for i in range(60)]
+    right = [(100 + i, rng.randint(1, 5), _ts(rng.randint(0, 50)))
+             for i in range(60)]
+    ldf = spark.createDataFrame(
+        left, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        right, "rid long, user_id long, ts timestamp")
+
+    def twin(strict, forward):
+        exp = {}
+        for eid, u, t in left:
+            if forward:
+                cand = [(rt, rid) for rid, ru, rt in right
+                        if ru == u and (rt > t if strict else rt >= t)]
+                # nearest later; equal-ts ties -> earliest rid
+                exp[eid] = min(cand)[1] if cand else None
+            else:
+                cand = [(rt, rid) for rid, ru, rt in right
+                        if ru == u and (rt < t if strict else rt <= t)]
+                # most recent; equal-ts ties -> latest rid
+                exp[eid] = max(cand)[1] if cand else None
+        return exp
+
+    from schematic_spark.functions import asof_join
+
+    for strict in (True, False):
+        for direction in ("backward", "forward"):
+            out = asof_join(
+                ldf, rdf, on="user_id", right_cols=("rid",),
+                strict=strict, tiebreak_col="rid", direction=direction,
+            )
+            got = {r.event_id: r.rid_asof for r in out.collect()}
+            exp = twin(strict, direction == "forward")
+            assert got == exp, (strict, direction)
