@@ -1072,13 +1072,20 @@ def _q_tpch_q1_pricing(spark, sf_dir):
         F.sum(disc).alias("_sdisc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+    # billions-magnitude money sums leave exact DECIMAL only as
+    # fixed-scale strings: round(double, 6) at 1e9 magnitude is below
+    # the double's ulp, so the last rounded digit is engine-dependent
+    # (bit us at sf0.1). Same pattern as orders_rollup.
     n = F.col("count_order").cast("double")
     return g.select(
         "l_returnflag", "l_linestatus",
         F.round(F.col("_sq").cast("double"), 2).alias("sum_qty"),
-        F.round(F.col("_sp").cast("double"), 2).alias("sum_base_price"),
-        F.round(F.col("_sd").cast("double"), 4).alias("sum_disc_price"),
-        F.round(F.col("_sc").cast("double"), 6).alias("sum_charge"),
+        F.col("_sp").cast("decimal(38,2)").cast("string")
+        .alias("sum_base_price"),
+        F.col("_sd").cast("decimal(38,4)").cast("string")
+        .alias("sum_disc_price"),
+        F.col("_sc").cast("decimal(38,6)").cast("string")
+        .alias("sum_charge"),
         F.round(F.col("_sq").cast("double") / n, 6).alias("avg_qty"),
         F.round(F.col("_sp").cast("double") / n, 6).alias("avg_price"),
         F.round(F.col("_sdisc").cast("double") / n, 6).alias("avg_disc"),
@@ -2573,9 +2580,12 @@ def oracle_sql() -> dict[str, str]:
           FROM l GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus,
                round(CAST(sq AS DOUBLE), 2) AS sum_qty,
-               round(CAST(sp AS DOUBLE), 2) AS sum_base_price,
-               round(CAST(sd AS DOUBLE), 4) AS sum_disc_price,
-               round(CAST(sc AS DOUBLE), 6) AS sum_charge,
+               CAST(CAST(sp AS DECIMAL(38,2)) AS VARCHAR)
+                 AS sum_base_price,
+               CAST(CAST(sd AS DECIMAL(38,4)) AS VARCHAR)
+                 AS sum_disc_price,
+               CAST(CAST(sc AS DECIMAL(38,6)) AS VARCHAR)
+                 AS sum_charge,
                round(CAST(sq AS DOUBLE) / count_order, 6) AS avg_qty,
                round(CAST(sp AS DOUBLE) / count_order, 6) AS avg_price,
                round(CAST(sdisc AS DOUBLE) / count_order, 6) AS avg_disc,
