@@ -714,13 +714,28 @@ def near_duplicate_components(
         if n_changed == 0:
             break
     else:
-        und.unpersist()
-        raise RuntimeError(
-            f"near_duplicate_components did not converge in {max_iter} "
-            f"rounds (last round changed {n_changed} labels); raise "
-            f"max_iter — with pointer doubling this needs a component "
-            f"diameter over 2^{max_iter}"
+        # every permitted round changed labels — but the FINAL round may
+        # itself have landed on the fixed point (convergence is only
+        # observed via an extra no-change round). One verification pass
+        # decides; only a genuine non-fixed-point raises.
+        verify = (
+            und.join(labels, "src")
+            .select(F.col("dst").alias("src"), "label")
+            .unionByName(labels)
+            .groupBy("src")
+            .agg(F.min("label").alias("new_label"))
         )
+        n_left = verify.join(labels, "src").where(
+            F.col("new_label") != F.col("label")
+        ).count()
+        if n_left > 0:
+            und.unpersist()
+            raise RuntimeError(
+                f"near_duplicate_components did not converge in "
+                f"{max_iter} rounds ({n_left} labels still unstable); "
+                f"raise max_iter — with pointer doubling this needs a "
+                f"component diameter over 2^{max_iter}"
+            )
     und.unpersist()
     return labels.select(
         F.col("src").alias("id"), F.col("label").alias("component")

@@ -283,11 +283,14 @@ def resize_media(
                 err[i] = f"{type(e).__name__}: {e}"
         return pd.DataFrame({"payload": out, "resize_error": err})
 
-    is_img = F.col("kind") == "image"
+    # registry-driven mask: any kind with a registered resizer ships
+    # its payload to the UDF (hardcoding "image" silently nulled the
+    # payload of every other registered kind — review finding)
+    handled = F.col("kind").isin(*resizers.keys())
     staged = df.withColumn(
-        "_r", _resize(F.when(is_img, F.col("payload")), F.col("kind"))
+        "_r", _resize(F.when(handled, F.col("payload")), F.col("kind"))
     )
-    ok = is_img & F.col("_r")["resize_error"].isNull()
+    ok = handled & F.col("_r")["resize_error"].isNull()
     return (
         staged
         .withColumn(
@@ -341,7 +344,7 @@ def sample_frames(
     # plan grows one ArrowEvalPython per branch and every video decodes
     # N times). Instead the error row is folded into the exploded array
     # as a single NULL element and mapped to frame_idx -1 afterwards.
-    vids = df.where(F.col("kind") == "video").withColumn(
+    vids = df.where(F.col("kind").isin(*samplers.keys())).withColumn(
         "_f", _frames(F.col("payload"), F.col("kind"))
     )
     exploded = vids.select(

@@ -142,6 +142,13 @@ def check_raw_union_support(schema: SObject) -> None:
     for name, fs in schema.fields:
         target = fs.inner if isinstance(fs, SOptional) else fs
         if isinstance(target, SUnion) and target.branch_fields is None:
+            if target.tag_field is not None:
+                raise NotImplementedError(
+                    f"raw-JSON union field {name!r}: a tag_field union "
+                    f"needs branch_fields (the default alt_i payload "
+                    f"names have no JSON counterpart) — declare "
+                    f"branch_fields or use the typed-table path"
+                )
             kinds = []
             for alt in target.alternatives:
                 cls = _KIND_CLASS.get(type(alt))
@@ -216,10 +223,17 @@ def _raw_union_col(variant_col, kind_col, name: str, union: SUnion):
 
 def is_variant_union(fs) -> bool:
     """True for fields that must decode via the variant kind dispatch:
-    a default-encoding (no ``branch_fields``) union, possibly
-    Optional-wrapped. Named/tagged unions ride ``from_json``."""
+    a default-encoding (no ``branch_fields``, no ``tag_field``) union,
+    possibly Optional-wrapped. Named unions ride ``from_json``; a
+    tag_field union without branch_fields is rejected up front
+    (check_raw_union_support) — the kind dispatch would ignore its tag
+    and the alt_i payload names have no raw-JSON counterpart."""
     t = fs.inner if isinstance(fs, SOptional) else fs
-    return isinstance(t, SUnion) and t.branch_fields is None
+    return (
+        isinstance(t, SUnion)
+        and t.branch_fields is None
+        and t.tag_field is None
+    )
 
 
 def variant_union_carrier(variant_col, kind_col, name: str, fs):
@@ -345,7 +359,13 @@ def validate_json_strings(
     for name, fs in data_fields:
         target = fs.inner if isinstance(fs, SOptional) else fs
         if isinstance(target, SUnion):
-            if _union_no_match_possible(target):
+            # the compiler's no-match machinery only covers REQUIRED
+            # unions: for an SOptional wrap, from_json nulls the slot
+            # on a wrong-kind value and the optional treats null as
+            # absent — without the raw-token check here that was a
+            # silent false-Valid (round-3 review finding)
+            if _union_no_match_possible(target) \
+                    and not isinstance(fs, SOptional):
                 continue
             mismatch_cells.append(F.when(
                 F.col("_doc")[name].isNull()

@@ -231,6 +231,29 @@ def ks_drift(
     )
 
 
+def _split_counts(df, key_expr, is_current, key_name: str):
+    """Shared core of the *_drift_split variants: one scan, one
+    ``groupBy(key, split)`` hash-agg, returned as the two
+    (key → count) maps. Any fix to the split handling (the
+    ``isNotNull`` filter, sentinel keys) lives HERE once."""
+    rows = (
+        df.where(is_current.isNotNull())
+        .select(key_expr.alias(key_name), is_current.alias("_cur"))
+        .groupBy(key_name, "_cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cur = {r[key_name]: r["n"] for r in rows if r["_cur"]}
+    base = {r[key_name]: r["n"] for r in rows if not r["_cur"]}
+    return cur, base
+
+
+def _category_expr(column: str):
+    return F.coalesce(
+        F.col(column).cast("string"), F.lit("__null__")
+    )
+
+
 def ks_drift_split(
     df: DataFrame,
     column: str,
@@ -247,18 +270,12 @@ def ks_drift_split(
     — use instead of two :func:`ks_drift` scans whenever both snapshots
     live in one table (time windows, A/B halves, partition parity)."""
     col = F.col(column).cast("double")
-    rows = (
-        df.where(col.isNotNull() & is_current.isNotNull())
-        .select(
-            _bucket_expr(column, lo, hi, n_buckets).alias("bucket"),
-            is_current.alias("_cur"),
-        )
-        .groupBy("bucket", "_cur")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    h1, h2 = _split_counts(
+        df.where(col.isNotNull()),
+        _bucket_expr(column, lo, hi, n_buckets),
+        is_current,
+        "bucket",
     )
-    h1 = {r["bucket"]: r["n"] for r in rows if r["_cur"]}
-    h2 = {r["bucket"]: r["n"] for r in rows if not r["_cur"]}
     d, p = ks_from_histograms(h1, h2)
     return DriftReport(
         kind="ks", statistic=d, p_value=p, drifted=p < alpha,
@@ -276,19 +293,9 @@ def chi2_drift_split(
 ) -> DriftReport:
     """Categorical chi-square drift over a boolean split of one table —
     one scan, one ``groupBy(category, split)`` hash-agg."""
-    rows = (
-        df.where(is_current.isNotNull())
-        .select(
-            F.coalesce(F.col(column).cast("string"), F.lit("__null__"))
-             .alias("category"),
-            is_current.alias("_cur"),
-        )
-        .groupBy("category", "_cur")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    obs, base = _split_counts(
+        df, _category_expr(column), is_current, "category"
     )
-    obs = {r["category"]: r["n"] for r in rows if r["_cur"]}
-    base = {r["category"]: r["n"] for r in rows if not r["_cur"]}
     stat, dof, p = chi_square_from_counts(obs, base)
     return DriftReport(
         kind="chi2", statistic=stat, p_value=p, drifted=p < alpha,
@@ -379,19 +386,9 @@ def psi_drift_split(
     """PSI over a boolean split of one table — one scan, one
     ``groupBy(category, split)`` hash-agg (same shape as
     :func:`chi2_drift_split`)."""
-    rows = (
-        df.where(is_current.isNotNull())
-        .select(
-            F.coalesce(F.col(column).cast("string"), F.lit("__null__"))
-             .alias("category"),
-            is_current.alias("_cur"),
-        )
-        .groupBy("category", "_cur")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    cur, base = _split_counts(
+        df, _category_expr(column), is_current, "category"
     )
-    cur = {r["category"]: r["n"] for r in rows if r["_cur"]}
-    base = {r["category"]: r["n"] for r in rows if not r["_cur"]}
     stat = psi_from_counts(cur, base)
     return DriftReport(
         kind="psi", statistic=stat, p_value=float("nan"),

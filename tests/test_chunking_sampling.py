@@ -349,3 +349,18 @@ class TestContamination:
             "doc_id string, text string",
         )
         assert ngram_contamination(corpus, bench, n=4).count() == 0
+
+
+def test_components_last_round_fixed_point_does_not_raise(spark):
+    """Round-3 review regression: a run whose final permitted round
+    reaches the fixed point must return the correct labels, not raise
+    — convergence is verified with one extra pass, not inferred from
+    'the last round changed something'."""
+    from schematic_spark.functions import near_duplicate_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = near_duplicate_components(pairs, max_iter=1)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}

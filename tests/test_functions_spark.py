@@ -502,3 +502,32 @@ def test_resize_quarantine_keeps_original_payload(spark):
     assert len(rows["m2"]["payload"]) == 32
     assert rows["m3"]["resize_error"] is None
     assert bytes(rows["m3"]["payload"]) == b"\x09\x08"  # pass-through
+
+
+def test_resize_registry_drives_kind_mask(spark):
+    """Round-3 review regression: RESIZERS is a pluggable kind registry
+    — a registered non-image kind must receive its real payload, not a
+    masked NULL (which falsely quarantined every such row)."""
+    from schematic_spark.functions import media, resize_media
+
+    def audio_resizer(payload, kind, w, h):
+        assert payload is not None
+        return payload[: max(w, 1)]
+
+    media.RESIZERS["audio"] = audio_resizer
+    try:
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("m1", "audio", bytearray(b"0123456789"))],
+            "media_id string, kind string, payload binary",
+        ).withColumn(
+            "meta",
+            F.struct(F.lit(0).cast("int").alias("width"),
+                     F.lit(0).cast("int").alias("height")),
+        )
+        out = resize_media(df, 4, 4).collect()[0]
+        assert out.resize_error is None
+        assert bytes(out.payload) == b"0123"
+    finally:
+        del media.RESIZERS["audio"]

@@ -540,3 +540,54 @@ def test_raw_json_named_snull_union_rejects_wrong_kind(spark):
     assert got["ok_missing"] == ("Valid", None)
     for k in ("wrong_scalar", "wrong_array"):
         assert got[k] == ("DecodingError", "empty union"), (k, got[k])
+
+
+class TestOptionalRawUnionNoMatch:
+    """Round-3 review regression: an SOptional-wrapped named/tagged
+    union must NOT validate as Valid when the raw value has the wrong
+    JSON kind — from_json nulls the slot and the optional would treat
+    it as absent without the raw-token check in the ingest layer."""
+
+    def test_optional_named_union_wrong_kind_is_decoding_error(self, spark):
+        from schematic_spark.schema import (
+            SNumber, SObject, SOptional, SText, SUnion,
+        )
+        from schematic_spark.sources import validate_json_strings
+
+        spec = SObject((
+            ("id", SText()),
+            ("u", SOptional(SUnion(
+                (SText(), SNumber()), branch_fields=("t", "n")
+            ))),
+        ))
+        df = spark.createDataFrame(
+            [
+                ('{"id":"a","u":5}',),          # wrong kind -> error
+                ('{"id":"a","u":{"t":"x"}}',),  # branch match -> Valid
+                ('{"id":"a"}',),                # missing -> Valid
+                ('{"id":"a","u":null}',),       # explicit null -> Valid
+            ],
+            "raw string",
+        )
+        res = validate_json_strings(df, "raw", spec, keep_raw=True)
+        got = {r.raw: (r._verdict, r._decoding_error)
+               for r in res.annotated.select(
+                   "raw", "_verdict", "_decoding_error").collect()}
+        assert got['{"id":"a","u":5}'] == ("DecodingError", "empty union")
+        assert got['{"id":"a","u":{"t":"x"}}'][0] == "Valid"
+        assert got['{"id":"a"}'][0] == "Valid"
+        assert got['{"id":"a","u":null}'][0] == "Valid"
+
+    def test_tagged_union_without_branch_fields_rejected(self, spark):
+        import pytest
+
+        from schematic_spark.schema import SNumber, SObject, SText, SUnion
+        from schematic_spark.sources import validate_json_strings
+
+        spec = SObject((
+            ("u", SUnion((SText(), SNumber()),
+                         tag_field="kind", tags=("a", "b"))),
+        ))
+        df = spark.createDataFrame([('{"u":1}',)], "raw string")
+        with pytest.raises(NotImplementedError, match="branch_fields"):
+            validate_json_strings(df, "raw", spec)
