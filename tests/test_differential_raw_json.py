@@ -180,10 +180,19 @@ def test_raw_json_union_encodings_match_interpreter(spark, seed):
         tags=("L", "S"),
         validate_branches=True,
     )
+    # optional-wrapped named union (no SNull alt): the round-3
+    # false-Valid class — from_json nulls a wrong-kind slot and the
+    # optional must NOT absorb it as absent
+    opt_union = SOptional(SUnion(
+        (SText((TGe(2),)), SNumber((NGt(0),))),
+        branch_fields=("s", "n"),
+        validate_branches=True,
+    ))
     schema = SObject((
         ("rid", SText()),
         ("nu", named),
         ("tu", tagged),
+        ("ou", opt_union),
     ))
 
     def _named_value():
@@ -223,14 +232,30 @@ def test_raw_json_union_encodings_match_interpreter(spark, seed):
             return rng.choice([7, "x", [2]])  # wrong kind
         return {"kind": "S", "short": "ok", "long": "ignored"}
 
+    def _opt_value():
+        r = rng.randrange(6)
+        if r == 0:
+            return MISSING                    # absent → Valid
+        if r == 1:
+            return None                       # null → Valid
+        if r == 2:
+            return {"s": rng.choice(["a", "abc"])}
+        if r == 3:
+            return {"n": float(rng.randint(-2, 4))}
+        if r == 4:
+            return rng.choice([9, "zz", [3], True])  # wrong kind
+        return {}                             # all-null → no-match
+
     rows, expects = [], {}
     for i in range(60):
         doc = {"rid": f"r{i}"}
-        nv, tv = _named_value(), _tagged_value()
+        nv, tv, ov = _named_value(), _tagged_value(), _opt_value()
         if nv is not MISSING:
             doc["nu"] = nv
         if tv is not MISSING:
             doc["tu"] = tv
+        if ov is not MISSING:
+            doc["ou"] = ov
         expects[i] = parse_and_validate(schema, doc)
         rows.append((i, json.dumps(doc)))
 
