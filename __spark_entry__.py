@@ -959,6 +959,27 @@ def _q_repetition_documents(spark, sf_dir):
     )
 
 
+def _q_weighted_mix_documents(spark, sf_dir):
+    """Deterministic source-mix sampling (functions/sampling.py):
+    per-lang keep fractions (en 100%, de 50%, fr 25%, others 10%);
+    report surviving counts per lang. Zero shuffles before the
+    report agg."""
+    from schematic_spark.functions import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        docs,
+        group_col="lang",
+        fractions={"en": 1.0, "de": 0.5, "fr": 0.25},
+        default_fraction=0.1,
+        salt="mixr3",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def _q_contamination_src0(spark, sf_dir):
     """Benchmark decontamination (functions/dedup.py): treat source
     'src0' as the eval set; corpus docs sharing any exact word 8-gram
@@ -1322,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_src0": _q_contamination_src0,
         "value_deciles_by_type": _q_value_deciles_by_type,
         "user_event_type_pivot": _q_user_event_type_pivot,
+        "weighted_mix_documents": _q_weighted_mix_documents,
     }
 
 
@@ -2474,6 +2496,24 @@ def oracle_sql() -> dict[str, str]:
         losers AS (SELECT node FROM comp WHERE node <> component)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+    out["weighted_mix_documents"] = """
+        WITH s AS (
+          SELECT lang, n_chars,
+                 CAST('0x' ||
+                      substr(md5('mixr3' || doc_id), 1, 15)
+                      AS BIGINT) % 10000 AS b
+          FROM documents)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM s
+        WHERE b < (CASE lang WHEN 'en' THEN 10000
+                             WHEN 'de' THEN 5000
+                             WHEN 'fr' THEN 2500
+                             ELSE 1000 END)
+        GROUP BY lang
     """
 
     out["contamination_src0"] = r"""

@@ -31,7 +31,11 @@ from .media import (  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .chunking import chunk_spans, chunk_stats  # noqa: F401
 from .interval import bucketed_interval_join  # noqa: F401
-from .sampling import cap_per_group, pack_documents  # noqa: F401
+from .sampling import (  # noqa: F401
+    cap_per_group,
+    pack_documents,
+    weighted_sample,
+)
 from .split import assign_split, split_bucket  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_to_query,

@@ -28,6 +28,39 @@ def _order_key(id_col: str, salt: str) -> Column:
     return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
 
 
+def weighted_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    denominator: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling — the source-mixing
+    step ("keep 100% of books, 30% of web, 5% of logs"). A row
+    survives iff its stable md5 bucket falls under its group's
+    fraction; groups absent from ``fractions`` get
+    ``default_fraction``. Pure projection + filter: zero shuffles,
+    reproducible across engines/retries/layouts, and independent
+    samples compose via ``salt``."""
+    from schematic_spark.functions.split import split_bucket
+
+    bucket = split_bucket(
+        F.col(id_col), denominator=denominator, salt=salt
+    )
+    thr = F.lit(int(round(default_fraction * denominator)))
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1]")
+        thr = F.when(
+            F.col(group_col) == g,
+            F.lit(int(round(frac * denominator))),
+        ).otherwise(thr)
+    return df.where(bucket < thr)
+
+
 def pack_documents(
     df: DataFrame,
     *,

@@ -364,3 +364,38 @@ def test_components_last_round_fixed_point_does_not_raise(spark):
     out = near_duplicate_components(pairs, max_iter=1)
     got = {r.id: r.component for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_weighted_sample_matches_hashlib_and_fractions(spark):
+    import hashlib
+
+    from schematic_spark.functions import weighted_sample
+
+    rows = [(f"d{i}", "a" if i % 2 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string")
+    kept = {r.doc_id for r in weighted_sample(
+        df, group_col="grp", fractions={"a": 0.5},
+        default_fraction=0.1, salt="w",
+    ).collect()}
+
+    def bucket(d):
+        return int(hashlib.md5(("w" + d).encode()).hexdigest()[:15],
+                   16) % 10_000
+
+    exp = {d for d, g in rows
+           if bucket(d) < (5000 if g == "a" else 1000)}
+    assert kept == exp
+    # sampled shares approximate the fractions
+    n_a = sum(1 for d, g in rows if g == "a")
+    got_a = sum(1 for d in kept if int(d[1:]) % 2)
+    assert 0.4 < got_a / n_a < 0.6
+
+
+def test_weighted_sample_rejects_bad_fraction(spark):
+    import pytest
+
+    from schematic_spark.functions import weighted_sample
+
+    df = spark.createDataFrame([("x", "g")], "doc_id string, grp string")
+    with pytest.raises(ValueError):
+        weighted_sample(df, group_col="grp", fractions={"g": 1.5})
