@@ -41,6 +41,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .table_format import TableFormat
 from ..schema.ast import SObject
@@ -68,11 +69,20 @@ class CheckpointedRun:
     n_buckets: int
 
     def completed(self, spark: SparkSession) -> dict[int, str]:
-        """bucket → committed attempt_id (latest wins) for this
-        (input snapshot, spec fingerprint, n_buckets)."""
+        """bucket → committed attempt_id for this (input snapshot, spec
+        fingerprint, n_buckets). The SAME min-attempt rule as
+        ``_committed_pairs`` — with concurrent double-commits, readers
+        and resume logic must agree on which attempt owns a bucket.
+
+        Only a missing lineage table means "nothing committed"; any
+        other failure (corrupt manifest, transient storage error)
+        PROPAGATES — swallowing it would silently restart the whole run
+        and duplicate attempts."""
+        from pyspark.errors import AnalysisException
+
         try:
             lineage = self.fmt.read(spark, LINEAGE_TABLE)
-        except Exception:
+        except (FileNotFoundError, AnalysisException):
             return {}
         rows = (
             lineage
@@ -82,7 +92,8 @@ class CheckpointedRun:
                 & (F.col("n_buckets") == self.n_buckets)
                 & (F.col("status") == "complete")
             )
-            .select("bucket", "attempt_id")
+            .groupBy("bucket")
+            .agg(F.min("attempt_id").alias("attempt_id"))
             .collect()
         )
         return {r["bucket"]: r["attempt_id"] for r in rows}
@@ -175,6 +186,13 @@ def run_validation_checkpointed(
             wpart = part.where(F.col("_bucket").isin(*wave))
         res = validate(wpart, schema)
 
+        # the violations write and the metrics agg are two actions over
+        # the same compiled validation — persist the wave's annotated
+        # frame (spills to disk; wave size is bounded by commit_every)
+        # so the scan + expression trees evaluate ONCE per wave, and
+        # both outputs see the same snapshot of a mutable input
+        res.annotated.persist(StorageLevel.MEMORY_AND_DISK)
+
         # pass 1: violations for the wave's buckets — ONE append, one
         # scan, bucket-partitioned files so bucket filters prune at the
         # storage level
@@ -195,6 +213,7 @@ def run_validation_checkpointed(
             )
             .collect()
         )
+        res.annotated.unpersist()
         metrics_rows = [
             {
                 **meta,
@@ -204,6 +223,16 @@ def run_validation_checkpointed(
                 "n_violations": int(r["n_violations"]),
             }
             for r in agg
+        ]
+        # committed zero-row buckets still get a metrics row — without
+        # one, partition_passfail cannot distinguish "validated, empty"
+        # from "never validated", and an all-empty run would leave the
+        # metrics table nonexistent entirely
+        seen_buckets = {int(r["bucket"]) for r in agg}
+        metrics_rows += [
+            {**meta, "bucket": b, "verdict": "Valid",
+             "n_rows": 0, "n_violations": 0}
+            for b in wave if b not in seen_buckets
         ]
         if metrics_rows:
             fmt.write(

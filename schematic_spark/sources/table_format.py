@@ -7,21 +7,31 @@ iceberg-spark-runtime jar and is offline, so the layer picks at runtime:
   classpath — real snapshots (``VERSION AS OF``), schema evolution DDL,
   append/overwrite through the catalog;
 * **ParquetDirFormat** otherwise — parquet directories plus a
-  ``_snapshots.json`` manifest emulating snapshot ids (monotonic,
-  content-addressed) so checkpoint/resume code is identical either way.
+  ``_snapshots.json`` manifest emulating snapshot ids so
+  checkpoint/resume code is identical either way.
 
 Only this module knows which backend is live; the suite, checkpoint and
 lineage code speak TableFormat.
+
+Concurrency note (parquet emulation): snapshot dirs are uuid4-named so
+two concurrent appenders can never clobber each other's DATA; the
+manifest append re-reads the on-disk manifest immediately before the
+atomic swap so concurrent entries merge rather than overwrite. A
+truly simultaneous swap can still lose one manifest ENTRY (file
+systems give no compare-and-swap) — the real Iceberg backend's
+catalog commit is the atomic version of this protocol.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -66,28 +76,50 @@ class IcebergFormat(TableFormat):
             reader = reader.option("snapshot-id", snapshot_id)
         return reader.load(table)
 
+    def _create_writer(self, df, table, partition_by):
+        writer = df.writeTo(table).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(
+                *[F.col(c) for c in partition_by]
+            )
+        return writer
+
     def write(self, df, table, mode="overwrite", partition_by=None) -> str:
         if mode == "overwrite":
-            writer = df.writeTo(table).using("iceberg")
-            if partition_by:
-                from pyspark.sql import functions as F
-
-                writer = writer.partitionedBy(
-                    *[F.col(c) for c in partition_by]
-                )
-            writer.createOrReplace()
+            self._create_writer(df, table, partition_by).createOrReplace()
         else:
-            df.writeTo(table).append()
+            # append must work on the FIRST write too (the checkpoint
+            # layer only ever appends): create-with-partitioning when
+            # the table doesn't exist yet, plain append otherwise
+            try:
+                df.writeTo(table).append()
+            except Exception as e:
+                msg = str(e)
+                if ("TABLE_OR_VIEW_NOT_FOUND" not in msg
+                        and "NoSuchTable" not in msg):
+                    raise
+                self._create_writer(df, table, partition_by).create()
         snaps = self.snapshots(df.sparkSession, table)
         return str(snaps[-1]["snapshot_id"]) if snaps else ""
 
     def snapshots(self, spark, table) -> list[dict]:
-        rows = spark.sql(f"SELECT * FROM {table}.snapshots").collect()
+        # explicit ORDER BY: SQL result order is otherwise undefined
+        # and write() pins input_snapshot off the LAST entry
+        rows = spark.sql(
+            f"SELECT * FROM {table}.snapshots ORDER BY committed_at"
+        ).collect()
         return [
             {"snapshot_id": r["snapshot_id"],
              "committed_at": str(r["committed_at"])}
             for r in rows
         ]
+
+
+def _has_parquet_files(path: str) -> bool:
+    return bool(glob.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True))
 
 
 @dataclass
@@ -99,10 +131,14 @@ class ParquetDirFormat(TableFormat):
         <root>/<table>/_snapshots.json
         <root>/<table>/snap-<id>/part-*.parquet
 
-    Each write lands in a fresh ``snap-<id>`` dir and appends a manifest
-    entry; reads resolve the latest (or requested) snapshot. Appends
-    list parent snapshots so the manifest is a lineage chain like
-    Iceberg's."""
+    Each write lands in a fresh uuid4-named ``snap-<id>`` dir and
+    appends a manifest entry; reads resolve the latest (or requested)
+    snapshot. Appends list parent snapshots so the manifest is a
+    lineage chain like Iceberg's. Empty writes (a wave with zero
+    violation rows — the EXPECTED case on mostly-valid data) record the
+    schema in the manifest and are skipped as data sources on read, so
+    an all-valid wave can never poison the table with a schema-less
+    directory."""
 
     root: str
 
@@ -121,7 +157,7 @@ class ParquetDirFormat(TableFormat):
 
     def _store_manifest(self, table: str, manifest: list[dict]) -> None:
         os.makedirs(self._table_dir(table), exist_ok=True)
-        tmp = self._manifest_path(table) + ".tmp"
+        tmp = self._manifest_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(table))  # atomic swap
@@ -134,12 +170,33 @@ class ParquetDirFormat(TableFormat):
             entry = manifest[-1]
         else:
             entry = next(
-                e for e in manifest if e["snapshot_id"] == snapshot_id
+                (e for e in manifest if e["snapshot_id"] == snapshot_id),
+                None,
             )
+            if entry is None:
+                raise FileNotFoundError(
+                    f"table {table!r} has no snapshot {snapshot_id!r}"
+                )
         paths = [
-            os.path.join(self._table_dir(table), d)
-            for d in entry["dirs"]
+            p for p in (
+                os.path.join(self._table_dir(table), d)
+                for d in entry["dirs"]
+            )
+            if _has_parquet_files(p)
         ]
+        if not paths:
+            # every contributing write was empty — reconstruct the
+            # typed empty frame from the recorded schema
+            schema_json = entry.get("schema")
+            if not schema_json:
+                raise FileNotFoundError(
+                    f"table {table!r} snapshot "
+                    f"{entry['snapshot_id']!r} has no data files and "
+                    f"no recorded schema"
+                )
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
         if len(paths) == 1:
             return spark.read.parquet(paths[0])
         # multiple snapshot roots: Spark refuses to merge several
@@ -155,9 +212,10 @@ class ParquetDirFormat(TableFormat):
         return out
 
     def write(self, df, table, mode="overwrite", partition_by=None) -> str:
-        manifest = self._load_manifest(table)
-        snap_seq = len(manifest)
-        snap_id = f"{snap_seq:06d}-{uuid.uuid5(uuid.NAMESPACE_URL, table + str(snap_seq)).hex[:12]}"
+        # uuid4: concurrent writers land in DISTINCT dirs — a
+        # deterministic (table, seq) id made two concurrent appenders
+        # overwrite the same directory (data loss)
+        snap_id = f"{uuid.uuid4().hex[:16]}"
         snap_dir = f"snap-{snap_id}"
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -165,6 +223,10 @@ class ParquetDirFormat(TableFormat):
         writer.parquet(
             os.path.join(self._table_dir(table), snap_dir)
         )
+        # RE-read the manifest after the data write so entries appended
+        # by concurrent writers in the meantime are preserved (see
+        # module concurrency note)
+        manifest = self._load_manifest(table)
         if mode == "append" and manifest:
             dirs = manifest[-1]["dirs"] + [snap_dir]
             parent = manifest[-1]["snapshot_id"]
@@ -177,6 +239,7 @@ class ParquetDirFormat(TableFormat):
             "mode": mode,
             "dirs": dirs,
             "partition_by": list(partition_by) if partition_by else [],
+            "schema": df.schema.json(),
         })
         self._store_manifest(table, manifest)
         return snap_id

@@ -550,3 +550,102 @@ class TestCheckpointWaves:
         pf = partition_passfail(spark, fmt).where(
             F.col("input_snapshot") == "snapC")
         assert sum(r["n_rows"] for r in pf.collect()) == 100
+
+
+class TestCheckpointEdgeCases:
+    """Round-3 review regressions: all-valid waves, empty buckets,
+    unknown snapshots, corrupt manifests."""
+
+    def _spec(self):
+        from schematic_spark.schema import NGe, SNumber, SObject
+
+        return SObject((("v", SNumber((NGe(0),))),))
+
+    def test_all_valid_wave_keeps_violations_table_readable(
+        self, spark, tmp_path
+    ):
+        from schematic_spark.sources import (
+            ParquetDirFormat, read_violations, run_validation_checkpointed,
+        )
+
+        fmt = ParquetDirFormat(root=str(tmp_path))
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("double").alias("v"),  # all valid
+        )
+        run_validation_checkpointed(
+            spark, docs, self._spec(), fmt, n_buckets=2,
+            run_id="rv", input_snapshot="s1",
+        )
+        # zero violation rows were written — the read must still work
+        # (empty partitioned snap dirs used to poison the table)
+        assert read_violations(spark, fmt).count() == 0
+        # and a later REAL violation batch still lands and reads
+        bad = spark.range(50, 60).select(
+            F.col("id").alias("doc_id"), F.lit(-1.0).alias("v")
+        )
+        run_validation_checkpointed(
+            spark, bad, self._spec(), fmt, n_buckets=2,
+            run_id="rv2", input_snapshot="s2",
+        )
+        assert read_violations(spark, fmt).count() == 10
+
+    def test_empty_buckets_get_metrics_rows(self, spark, tmp_path):
+        from schematic_spark.sources import (
+            ParquetDirFormat, partition_passfail,
+            run_validation_checkpointed,
+        )
+
+        fmt = ParquetDirFormat(root=str(tmp_path))
+        # one single doc: most of the 8 buckets are empty
+        docs = spark.createDataFrame([(1, 2.0)], "doc_id long, v double")
+        run_validation_checkpointed(
+            spark, docs, self._spec(), fmt, n_buckets=8,
+            run_id="re", input_snapshot="s1",
+        )
+        pf = partition_passfail(spark, fmt).collect()
+        assert len(pf) == 8  # every committed bucket visible
+        assert sum(r["n_rows"] for r in pf) == 1
+        assert all(r["passed"] for r in pf)
+
+    def test_unknown_snapshot_id_clear_error(self, spark, tmp_path):
+        import pytest
+
+        from schematic_spark.sources import ParquetDirFormat
+
+        fmt = ParquetDirFormat(root=str(tmp_path))
+        fmt.write(spark.range(3), "t", mode="overwrite")
+        with pytest.raises(FileNotFoundError, match="nope"):
+            fmt.read(spark, "t", snapshot_id="nope")
+
+    def test_corrupt_lineage_manifest_propagates(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from schematic_spark.sources import ParquetDirFormat
+        from schematic_spark.sources.checkpoint import (
+            LINEAGE_TABLE, CheckpointedRun,
+        )
+
+        fmt = ParquetDirFormat(root=str(tmp_path))
+        os.makedirs(str(tmp_path / LINEAGE_TABLE), exist_ok=True)
+        with open(str(tmp_path / LINEAGE_TABLE / "_snapshots.json"),
+                  "w") as f:
+            f.write("{corrupt json")
+        run = CheckpointedRun(fmt, "r", "s", "fp", 4)
+        # a corrupt manifest must NOT be silently treated as "nothing
+        # committed" (that restarts the whole run) — it must surface
+        with pytest.raises(Exception, match="(?i)json|expect"):
+            run.completed(spark)
+
+    def test_concurrent_appends_keep_both_datasets(self, spark, tmp_path):
+        """uuid4 snap dirs: two interleaved appenders can no longer
+        overwrite each other's data directory."""
+        from schematic_spark.sources import ParquetDirFormat
+
+        fmt_a = ParquetDirFormat(root=str(tmp_path))
+        fmt_b = ParquetDirFormat(root=str(tmp_path))
+        fmt_a.write(spark.range(0, 5), "t", mode="append")
+        fmt_b.write(spark.range(5, 9), "t", mode="append")
+        assert fmt_a.read(spark, "t").count() == 9
