@@ -75,6 +75,12 @@ def construct(schema, **field_values) -> Column:
     missing = [n for n in schema.field_names() if n not in field_values]
     if missing:
         raise KeyError(f"missing fields: {missing}")
+    extras = sorted(set(field_values) - set(schema.field_names()))
+    if extras:
+        raise KeyError(
+            f"unknown fields: {extras} — silently dropping them would "
+            f"lose data the caller believes is serialized"
+        )
     cols = []
     for name in schema.field_names():
         v = field_values[name]

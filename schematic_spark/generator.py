@@ -137,7 +137,6 @@ def interleaved_documents(
     """The synthetic interleaved text+media documents table."""
     i = F.col("id")
     seed = cfg.seed
-    base = _mix(F.pmod(i, F.lit(_M)), seed)
 
     dup = _rate_hit(i, 1, cfg.dup_rate_millis, seed) & (i > 0)
     # duplicate docs copy the *previous* doc's identity AND content

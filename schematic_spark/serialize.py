@@ -19,6 +19,9 @@ def to_json_column(schema: SObject, *, keep_nulls: bool = True) -> Column:
 
 
 def serialize_rows(
-    df: DataFrame, schema: SObject, out_col: str = "json"
+    df: DataFrame, schema: SObject, out_col: str = "json",
+    *, keep_nulls: bool = True,
 ) -> DataFrame:
-    return df.withColumn(out_col, to_json_column(schema))
+    return df.withColumn(
+        out_col, to_json_column(schema, keep_nulls=keep_nulls)
+    )

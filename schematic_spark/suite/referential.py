@@ -37,6 +37,10 @@ def dangling_rows(
     ).dropDuplicates()
     if broadcast is True:
         dim_keys = F.broadcast(dim_keys)
+    elif broadcast is False:
+        # honor the caller's "too big to broadcast": without the merge
+        # hint AQE may still auto-broadcast a small-enough key set
+        dim_keys = dim_keys.hint("merge")
     cond = None
     for fk, dk in on.items():
         c = F.col(fk) == F.col(f"_dim_{dk}")
@@ -64,7 +68,9 @@ def referential_report(
         null_fk = c if null_fk is None else (null_fk | c)
     totals = fact.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(null_fk.cast("long")).alias("n_null_fk"),
+        # coalesce: sum over zero rows is NULL, not 0
+        F.coalesce(F.sum(null_fk.cast("long")), F.lit(0))
+        .alias("n_null_fk"),
     )
     dangling = dangling_rows(fact, dim, on, broadcast=broadcast).agg(
         F.count(F.lit(1)).alias("n_dangling")

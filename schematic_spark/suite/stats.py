@@ -14,7 +14,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, NumericType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    NumericType,
+    StringType,
+    StructType,
+)
+
+
+def _sql_str(s: str) -> str:
+    """Escape a value for a single-quoted SQL string literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _sql_ident(s: str) -> str:
+    """Escape a name for a backtick-quoted SQL identifier."""
+    return s.replace("`", "``")
 
 
 def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -27,16 +43,19 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         dt = fields[c]
-        col = F.col(c)
+        # backtick-quote: bare F.col/df[...] parse dots as struct access
+        col = F.col(f"`{_sql_ident(c)}`")
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nnull"))
-        if isinstance(dt, (NumericType, StringType)):
-            aggs.append(F.approx_count_distinct(col).alias(f"{c}__ndist"))
-        else:
+        if isinstance(dt, (ArrayType, StructType, MapType)):
             # hashing every nested array/struct per row for an HLL is a
             # scan-dominating cost at scale; complex types report null
             aggs.append(
                 F.lit(None).cast("long").alias(f"{c}__ndist")
             )
+        else:
+            # all atomic types (incl. bool/date/timestamp) are
+            # fixed-width: the HLL costs the same as on numerics
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__ndist"))
         if isinstance(dt, NumericType):
             aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
@@ -62,9 +81,10 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     # stack() over a single row, no extra scan)
     stack_args = []
     for c in columns:
+        lbl, b = _sql_str(c), _sql_ident(c)
         stack_args.append(
-            f"'{c}', `{c}__nnull`, `{c}__ndist`, `{c}__min`, `{c}__max`, "
-            f"`{c}__avg`, `{c}__avglen`"
+            f"'{lbl}', `{b}__nnull`, `{b}__ndist`, `{b}__min`, "
+            f"`{b}__max`, `{b}__avg`, `{b}__avglen`"
         )
     stacked = wide.selectExpr(
         "n_rows",

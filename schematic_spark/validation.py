@@ -56,6 +56,20 @@ class ValidationResult:
     schema: SObject
 
     def valid_rows(self) -> DataFrame:
+        """Rows whose verdict is Valid, output columns = input columns.
+
+        Plan note (audited, Spark 4.1): the optimizer inlines the
+        verdict tree into this Filter — unpreventable (alias inlining
+        happens regardless of predicate determinism; barrier columns
+        are pruned first). The inlined form is nonetheless the plan
+        you'd want: the output projections are pruned away, so the
+        validation evaluates ONCE per row inside the filter, the
+        verdict CASE short-circuits valid rows after the cheap flat
+        mask (evaluated at most twice), and the expensive HOF array
+        trees run only on FAILING rows. Filtering on a recomputed
+        valid-mask alone would be marginally cheaper but WRONG for
+        raw-JSON results, whose verdict carries structural errors
+        (malformed/type-failure) invisible to the mask."""
         cols = [
             c for c in self.annotated.columns
             if c not in (VERDICT_COL, VIOLATIONS_COL, STRUCTURAL_COL,
@@ -148,9 +162,13 @@ def compile_verdict_columns(
     empty_path = F.lit("")
     structural = compile_structural(schema, row, empty_path)
     violations = compile_violations(schema, row, empty_path)
-    # self-contained expressions (no reference to output column names, so
-    # callers may use any subset); runtime subexpression elimination
-    # dedupes the repeated subtrees within one projection
+    # self-contained expressions (no reference to output column names,
+    # so callers may use any subset). WARNING: selecting several of
+    # these in ONE projection evaluates the shared structural/violations
+    # trees once PER REFERENCE — codegen subexpression elimination does
+    # NOT dedupe across HOF lambdas (CLAUDE.md). Callers needing more
+    # than the verdict should materialize the array columns first and
+    # derive the rest from the columns, as validate() does.
     verdict = (
         F.when(F.size(structural) > 0, F.lit("DecodingError"))
         .when(F.size(violations) > 0, F.lit("ValidationError"))
@@ -198,6 +216,16 @@ def validate(
         problems = check_conformance(schema, df.schema)
         if problems:
             raise SchemaMismatchError(problems)
+    reserved = {
+        "_row_ok", STRUCTURAL_COL, VIOLATIONS_COL, VERDICT_COL,
+        DECODING_ERROR_COL,
+    } & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with validation outputs: "
+            f"{sorted(reserved)} — rename them before validating "
+            f"(they would be silently overwritten)"
+        )
     row = F.struct(*[F.col(n).alias(n) for n in schema.field_names()])
     empty_path = F.lit("")
     # valid-mask fast path: a flat predicate chain decides "no errors at

@@ -349,3 +349,33 @@ class TestTpchPlans:
         assert agg_lines, plan
         for ln in agg_lines:
             assert "decimal" in ln, ln
+
+
+class TestValidRowsPlan:
+    def test_valid_rows_single_pass_short_circuit(self, spark):
+        """Spark 4 inlines the verdict tree into valid_rows' Filter
+        (alias inlining ignores predicate determinism; barrier columns
+        are pruned first — audited round 3). The inlined plan is still
+        single-pass: exactly one Filter directly over the scan, no
+        residual Projects re-computing the trees, and the verdict CASE
+        short-circuits valid rows after the flat mask."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        res = validate(docs, SPEC)
+        plan = res.valid_rows()._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        # one Filter, directly over the relation: the validation
+        # evaluates once per row, not once in a Project AND once here
+        lines = [ln for ln in plan.splitlines() if ln.strip()]
+        assert lines[0].lstrip().startswith("Filter"), plan
+        assert sum("Filter" in ln for ln in lines) == 1, plan
+        assert not any("Project" in ln and "rlike" in ln
+                       for ln in lines), plan
+
+    def test_valid_rows_values_match_verdict(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        res = validate(docs, SPEC)
+        n_valid = res.annotated.where(
+            F.col("_verdict") == "Valid").count()
+        vr = res.valid_rows()
+        assert vr.count() == n_valid
+        assert "_verdict" not in vr.columns

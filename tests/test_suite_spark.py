@@ -313,3 +313,61 @@ class TestPsiDrift:
         )
         assert psi_drift(skewed, base, "c").drifted
         assert not psi_drift(base, base, "c").drifted
+
+
+class TestReviewRegressionsR3:
+    def test_column_stats_quoted_and_weird_names(self, spark):
+        from schematic_spark.suite import column_stats
+
+        df = spark.range(3).select(
+            F.col("id").alias("it's"),
+            F.lit("x").alias("a.b"),
+            F.lit(True).alias("flag"),
+            F.current_timestamp().alias("ts"),
+        )
+        rows = {r["column"]: r for r in column_stats(df).collect()}
+        assert set(rows) == {"it's", "a.b", "flag", "ts"}
+        # atomic non-numeric/string types now report distinct estimates
+        assert rows["flag"]["n_distinct_approx"] is not None
+        assert rows["ts"]["n_distinct_approx"] is not None
+
+    def test_referential_report_empty_fact_zero_null_fk(self, spark):
+        from schematic_spark.suite import referential_report
+
+        fact = spark.createDataFrame([], "fk long")
+        dim = spark.createDataFrame([(1,)], "k long")
+        r = referential_report(fact, dim, {"fk": "k"}).collect()[0]
+        assert r["n_null_fk"] == 0 and r["n_rows"] == 0
+        assert r["ref_ok"]
+
+    def test_dangling_rows_broadcast_false_forces_merge(self, spark):
+        from schematic_spark.suite import dangling_rows
+
+        fact = spark.createDataFrame([(1,), (9,)], "fk long")
+        dim = spark.createDataFrame([(1,)], "k long")
+        out = dangling_rows(fact, dim, {"fk": "k"}, broadcast=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert [r.fk for r in out.collect()] == [9]
+
+    def test_validate_rejects_reserved_column_collision(self, spark):
+        import pytest
+
+        from schematic_spark.schema import SNumber, SObject
+        from schematic_spark.validation import validate
+
+        df = spark.createDataFrame(
+            [(1.0, "x")], "v double, _verdict string"
+        )
+        with pytest.raises(ValueError, match="_verdict"):
+            validate(df, SObject((("v", SNumber()),)))
+
+    def test_construct_rejects_unknown_fields(self, spark):
+        import pytest
+
+        from schematic_spark.accessors import construct
+        from schematic_spark.schema import SNumber, SObject
+
+        schema = SObject((("x", SNumber()),))
+        with pytest.raises(KeyError, match="unknown"):
+            construct(schema, x=F.lit(1.0), bogus=F.lit(2.0))
