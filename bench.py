@@ -224,7 +224,36 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }
-    print(json.dumps(out))
+    # The driver captures the tail of stdout and parses the LAST line
+    # that is valid JSON; round-3's single long line got truncated and
+    # parsed as null (VERDICT r3 #3).  Emit the full detail first, a
+    # file copy for humans, and finally ONE SHORT headline line (well
+    # under any tail-capture limit) so the parse always succeeds.
+    detail = dict(out)
+    print("BENCH_DETAIL: " + json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_out.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as e:
+        print(f"bench_out.json write failed: {e}", file=sys.stderr)
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "docs_per_sec": out["docs_per_sec"],
+        "queries": {
+            k: qtimes[k]
+            for k in sorted(qtimes, key=lambda k: -qtimes[k])[:8]
+        },
+        "n_queries_total": len(qtimes),
+        "sf": out["sf"],
+        "cpus": cpus,
+        "detail_file": "bench_out.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -703,11 +703,24 @@ def near_duplicate_components(
                 ).alias("new_label"),
             )
         )
-        merged = labels.join(doubled, "src").localCheckpoint()
+        # convergence metric rides the checkpoint job via observe() —
+        # ONE action per round instead of checkpoint + count (the
+        # per-round fixed cost dominates at toy scale, r3 VERDICT #7)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = (
+            labels.join(doubled, "src")
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_label") != F.col("label")).cast("long")
+                ).alias("n_changed"),
+            )
+            .localCheckpoint()  # eager → the observation is filled here
+        )
         cand.unpersist()  # checkpoint is eager — cand fully consumed
-        n_changed = merged.where(
-            F.col("new_label") != F.col("label")
-        ).count()
+        n_changed = obs.get["n_changed"] or 0
         labels = merged.select(
             "src", F.col("new_label").alias("label")
         )
@@ -769,11 +782,17 @@ def ngram_contamination(
     id_col: str = "doc_id",
     n: int = 8,
     max_gram_group: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing at least one
     exact word ``n``-gram with any benchmark document — the standard
     pre-training hygiene check (drop training docs that leak eval
     data). Returns ``(corpus_id, bench_id, n_shared)`` pairs.
+
+    Documents with fewer than ``n`` tokens contribute NO grams (they
+    cannot contain a word n-gram); the generic shingle helper's
+    whole-doc fallback is for Jaccard universes, not exact-n-gram
+    semantics, and is suppressed here.
 
     Scale shape: both sides reduce to (distinct-gram, id) rows — the
     token arrays are materialized as columns before the gram HOF (the
@@ -783,16 +802,20 @@ def ngram_contamination(
     ``max_gram_group`` to drop grams whose total occurrence count
     exceeds it (the winnowing cap pattern); the drop is explicit in the
     plan, never silent — leave it None to keep exact recall.
+    ``log_dropped=True`` additionally persists the hot-gram set and
+    logs how many grams the cap excluded (one tiny extra action over
+    the already-aggregated set; the persist keeps the gram-count scan
+    single-pass).
     """
     def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
         toks = df.select(
             F.col(id_col).alias(out_id),
             tokens_column(text_col).alias("_t"),
         )
-        return toks.select(
-            out_id,
-            F.explode(shingles_from_tokens(F.col("_t"), n)).alias("gram"),
-        )
+        grams = F.when(
+            F.size("_t") >= n, shingles_from_tokens(F.col("_t"), n)
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(out_id, F.explode(grams).alias("gram"))
 
     cg = gram_rows(corpus, "corpus_id")
     bg = gram_rows(benchmark, "bench_id")
@@ -804,6 +827,15 @@ def ngram_contamination(
             .where(F.col("_n") > max_gram_group)
             .select("gram")
         )
+        if log_dropped:
+            hot = hot.persist()
+            n_hot = hot.count()
+            print(
+                f"ngram_contamination: max_gram_group={max_gram_group} "
+                f"dropped {n_hot} hot gram(s)"
+            )
+        # no forced broadcast: the hot set scales with corpus
+        # boilerplate — AQE picks the strategy (CLAUDE.md rule)
         cg = cg.join(hot, "gram", "left_anti")
         bg = bg.join(hot, "gram", "left_anti")
     return (

@@ -69,6 +69,8 @@ def pack_documents(
     shards: int = 64,
     id_col: str = "doc_id",
     salt: str = "pack",
+    two_phase: bool = False,
+    block_chars: int = 2,
 ) -> DataFrame:
     """Cross-document training-batch packing: append ``shard`` and
     ``batch_idx`` so each (shard, batch) holds consecutive documents
@@ -81,24 +83,75 @@ def pack_documents(
     ``batch = floor(cum_tokens_before / budget)``. A batch may overrun
     by at most one document (the straddler) — the standard
     approximation; batch composition is stable across engines, runs,
-    and cluster layouts. One shuffle (the per-shard window).
+    and cluster layouts.
+
+    Parallelism: the per-shard cumulative sum is one reducer PER SHARD
+    — at 100 TB the default 64 shards means each reducer scans ~1/64
+    of the corpus. Either raise ``shards`` toward the cluster's core
+    count (each shard is an independent batch stream, so more shards
+    is semantically free), or set ``two_phase=True``: rows are
+    sub-blocked by the first ``block_chars`` hex chars of the md5
+    order key (block boundaries respect the order, so results are
+    BIT-IDENTICAL to the single-phase form), per-(shard, block) local
+    cumulative sums run on ``shards * 16**block_chars`` reducers, and
+    a tiny per-shard running offset of block totals (bounded by the
+    parameters, never by data — safe to broadcast) is added back.
     """
     from schematic_spark.functions.split import split_bucket
 
     shard = split_bucket(
         F.col(id_col), denominator=shards, salt=salt
     ).alias("shard")
+    key = _order_key(id_col, salt)
     out = df.withColumn("shard", shard)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(_order_key(id_col, salt), F.col(id_col))
+    if not two_phase:
+        w = (
+            Window.partitionBy("shard")
+            .orderBy(key, F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = F.coalesce(
+            F.sum(F.col(token_col)).over(w), F.lit(0)
+        )
+        return out.withColumn(
+            "batch_idx", F.floor(cum_before / F.lit(budget)).cast("int")
+        )
+    out = out.withColumn("_key", key).withColumn(
+        "_blk", F.substring("_key", 1, block_chars)
+    )
+    w_local = (
+        Window.partitionBy("shard", "_blk")
+        .orderBy("_key", F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(
-        F.sum(F.col(token_col)).over(w), F.lit(0)
+    local_before = F.coalesce(
+        F.sum(F.col(token_col)).over(w_local), F.lit(0)
     )
-    return out.withColumn(
-        "batch_idx", F.floor(cum_before / F.lit(budget)).cast("int")
+    # block totals from the pre-window projection (not the windowed
+    # branch — no double window execution); (shard, blk) distinct rows
+    # after map-side combine, a tiny aggregate
+    totals = out.groupBy("shard", "_blk").agg(
+        F.sum(F.col(token_col)).alias("_bt")
+    )
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "shard", "_blk",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        out.withColumn("_local_before", local_before)
+        .join(F.broadcast(offsets), ["shard", "_blk"])
+        .withColumn(
+            "batch_idx",
+            F.floor(
+                (F.col("_local_before") + F.col("_off")) / F.lit(budget)
+            ).cast("int"),
+        )
+        .drop("_key", "_blk", "_local_before", "_off")
     )
 
 

@@ -342,7 +342,12 @@ def char_entropy(col: Column | str) -> Column:
     ``H = ln(n) - sum / n``. O(n log n) per row, pure Catalyst.
     """
     c = F.col(col) if isinstance(col, str) else col
-    chars = F.split(c, r"(?!^)")  # between-char split -> one elem per char
+    # Codepoint-aware split: Java Pattern's `.` matches one CODE POINT
+    # (surrogate pairs stay whole), matching DuckDB's str_split(x, '')
+    # and Spark's own length() (both codepoint counts). A lookahead
+    # split `(?!^)` would cut astral chars into two UTF-16 surrogate
+    # halves and diverge on emoji/rare-CJK text (r3 ADVICE).
+    chars = F.regexp_extract_all(c, F.lit(r"(?s)."), 0)
     n = F.length(c)
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),

@@ -162,7 +162,7 @@ def session_counts_stream(
     *,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    gap: str = "30 minutes",
+    gap_seconds: int = 1800,
     watermark: str = "1 hour",
     value_col: str | None = None,
 ) -> DataFrame:
@@ -170,16 +170,26 @@ def session_counts_stream(
     one open-session state entry per (user, session); the event-time
     watermark closes sessions and evicts their state, so state size is
     O(concurrently-open sessions), never O(history). The unbounded-
-    stream analog of the batch operator (suite/sessions.py) — same gap
-    semantics: a strictly-greater-than-``gap`` silence starts a new
-    session."""
+    stream analog of the batch operator (suite/sessions.py), with the
+    SAME gap boundary: a strictly-greater-than-``gap_seconds`` silence
+    starts a new session.
+
+    Boundary note: Spark's ``session_window`` is half-open
+    ``[ts, ts+gap)`` — an event arriving exactly ``gap`` after the
+    previous one would start a NEW streaming session while the batch
+    operator's ``> gap`` predicate keeps it in the same one. The
+    window gap is therefore widened by one microsecond (the event-time
+    resolution), making the two operators agree at the boundary —
+    pinned by the batch-vs-stream differential in
+    ``tests/test_streaming_accessors.py``."""
+    gap_interval = f"{gap_seconds * 1_000_000 + 1} microseconds"
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("total_value"))
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(
-            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.session_window(F.col(ts_col), gap_interval).alias("session"),
             F.col(user_col),
         )
         .agg(*aggs)

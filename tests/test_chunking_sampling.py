@@ -281,6 +281,55 @@ class TestPackDocuments:
         for s, bs in by_shard.items():
             assert bs == set(range(max(bs) + 1)), (s, bs)
 
+    def test_two_phase_bit_identical_to_single_phase(self, spark):
+        # the scalable two-phase form (per-block local cumsums + tiny
+        # per-shard offset broadcast) must reproduce the single-phase
+        # result EXACTLY — block boundaries respect the md5 order.
+        # block_chars=1 → 16 blocks/shard keeps blocks multi-row at
+        # this size so the offsets actually matter.
+        from schematic_spark.functions import pack_documents
+
+        df = spark.createDataFrame(
+            [(f"doc{i}", 10 + (i * 37) % 90) for i in range(500)],
+            "doc_id string, n_tok int",
+        )
+        one = {
+            r.doc_id: (r.shard, r.batch_idx)
+            for r in pack_documents(
+                df, token_col="n_tok", budget=300, shards=4
+            ).collect()
+        }
+        two = {
+            r.doc_id: (r.shard, r.batch_idx)
+            for r in pack_documents(
+                df, token_col="n_tok", budget=300, shards=4,
+                two_phase=True, block_chars=1,
+            ).collect()
+        }
+        assert one == two
+
+    def test_two_phase_wide_shards(self, spark):
+        # shards >= 1024: the parallelism knob the 100 TB path uses —
+        # every (shard, batch) stays dense and budget-bounded
+        from collections import defaultdict
+
+        from schematic_spark.functions import pack_documents
+
+        df = spark.createDataFrame(
+            [(f"w{i}", 50 + (i % 3) * 25) for i in range(3000)],
+            "doc_id string, n_tok int",
+        )
+        packed = pack_documents(
+            df, token_col="n_tok", budget=200, shards=1024,
+            two_phase=True,
+        ).collect()
+        assert len(packed) == 3000
+        agg = defaultdict(int)
+        for r in packed:
+            agg[(r.shard, r.batch_idx)] += r.n_tok
+        for tot in agg.values():
+            assert tot < 200 + 100
+
     def test_pack_matches_hashlib_twin(self, spark):
         import hashlib
 

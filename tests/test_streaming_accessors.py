@@ -244,7 +244,7 @@ class TestStreamingSessions:
             .parquet(src)
         )
         out = session_counts_stream(
-            stream, gap="30 minutes", watermark="10 minutes",
+            stream, gap_seconds=1800, watermark="10 minutes",
             value_col="value",
         )
         q = (
@@ -260,3 +260,139 @@ class TestStreamingSessions:
             for r in spark.sql("SELECT * FROM sess_stream").collect()
         }
         assert got == {(1, 2, 5.0), (1, 1, 5.0), (2, 1, 1.0)}
+
+
+class TestBatchStreamDifferential:
+    """The streaming operators' second oracle: on the SAME bounded
+    input (availableNow trigger), each stateful streaming operator must
+    produce exactly the batch operator's answer — the same differential
+    treatment the compiler gets from the interpreter twin."""
+
+    def test_session_stream_equals_batch_incl_gap_boundary(
+        self, spark, tmp_path
+    ):
+        import datetime as dt
+
+        from schematic_spark.streaming import session_counts_stream
+        from schematic_spark.suite import session_stats
+
+        t0 = dt.datetime(2024, 3, 1)
+
+        def ts(seconds):
+            return t0 + dt.timedelta(seconds=seconds)
+
+        gap = 600  # 10 minutes
+        rows = [
+            # user 1: event exactly `gap` seconds after the previous —
+            # the half-open-window boundary case: batch (> gap) keeps
+            # it in session 1, so the stream must too
+            (1, ts(0), 1.0), (1, ts(gap), 2.0),
+            # then strictly greater than gap → new session
+            (1, ts(2 * gap + 1), 4.0),
+            # user 2: dense burst then singleton
+            (2, ts(5), 1.0), (2, ts(10), 1.0), (2, ts(3000), 8.0),
+            # user 3: single event
+            (3, ts(42), 7.0),
+        ]
+        src = str(tmp_path / "sess_src")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.parquet(src)
+
+        batch = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in session_stats(
+                spark.read.parquet(src),
+                gap_seconds=gap,
+                value_col="value",
+            ).collect()
+        }
+
+        stream = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+        )
+        q = (
+            session_counts_stream(
+                stream, gap_seconds=gap, watermark="1 minute",
+                value_col="value",
+            )
+            .writeStream.format("memory").queryName("sess_diff")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_diff"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sess_diff").collect()
+        }
+        assert streamed == batch
+        # the boundary event really was kept in-session
+        assert (1, 2, 3.0) in batch
+
+    def test_windowed_verdict_counts_equals_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        from schematic_spark.streaming import (
+            validate_stream,
+            windowed_verdict_counts,
+        )
+        from schematic_spark.validation import validate
+
+        t0 = dt.datetime(2024, 3, 1)
+        rows = [
+            (t0 + dt.timedelta(seconds=30 * i),
+             ["a", "b", "zzz"][i % 3],
+             float(i % 5 - 1))
+            for i in range(40)
+        ]
+        src = str(tmp_path / "win_src")
+        spark.createDataFrame(
+            rows, "ts timestamp, kind string, value double"
+        ).coalesce(1).write.parquet(src)
+
+        batch_annotated = validate(spark.read.parquet(src), SPEC).annotated
+        batch = {
+            (r.ws, r.verdict, r.n_rows, r.n_violations)
+            for r in batch_annotated.groupBy(
+                F.window("ts", "1 minute").alias("window"),
+                F.col("_verdict").alias("verdict"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.size("_violations")).alias("n_violations"),
+            )
+            .select(
+                F.col("window.start").alias("ws"), "verdict",
+                "n_rows", "n_violations",
+            )
+            .collect()
+        }
+
+        stream = (
+            spark.readStream
+            .schema("ts timestamp, kind string, value double")
+            .parquet(src)
+        )
+        q = (
+            windowed_verdict_counts(
+                validate_stream(stream, SPEC), "ts", "1 minute"
+            )
+            .writeStream.format("memory").queryName("win_diff")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_win"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r.ws, r.verdict, r.n_rows, r.n_violations)
+            for r in spark.sql(
+                "SELECT window.start AS ws, verdict, n_rows, n_violations "
+                "FROM win_diff"
+            ).collect()
+        }
+        assert streamed == batch and len(batch) > 3

@@ -364,7 +364,11 @@ def test_char_entropy_differential_twin(spark):
     from schematic_spark.functions import char_entropy
 
     rng = random.Random(9)
-    docs = [(f"d{i}", "".join(rng.choice("abcxyz !.")
+    # alphabet includes astral (non-BMP) codepoints — the Python twin
+    # counts codepoints, so a UTF-16 surrogate-halving split in the
+    # engine would diverge here (r3 ADVICE regression guard)
+    alphabet = "abcxyz !." + "\U0001F600\U0001F680\U00020BB7"
+    docs = [(f"d{i}", "".join(rng.choice(alphabet)
                               for _ in range(rng.randint(1, 80))))
             for i in range(30)]
     df = spark.createDataFrame(docs, "doc_id string, text string")
