@@ -1189,6 +1189,120 @@ def _q_tpch_q3_revenue(spark, sf_dir):
     )
 
 
+def _q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-style large-volume customers: semi-join against a
+    HAVING-filtered aggregate (orders whose total quantity tops 250),
+    then a 3-way join up to the customer, deterministic top-100.
+    Scale shape: the big-order key set is the output of a partial+final
+    hash-agg (tiny vs lineitem) — AQE broadcasts it into the lineitem
+    re-join; money stays DECIMAL-exact until the final projection."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_sq"))
+        .where(F.col("_sq") > 250)
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        j.orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+        .select(
+            "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("_sq").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
+def _q_conversion_funnel_events(spark, sf_dir):
+    """Ordered-sequence conversion funnel (suite/sessions.funnel_stages):
+    per user, how far through view → click → purchase the user got,
+    each step strictly later than the one before. One shuffle, fold is
+    row-local Catalyst — no window, no python. Canonically ordered
+    output (driver-hash-proof from day one)."""
+    from schematic_spark.suite import funnel_stages
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, ["view", "click", "purchase"]
+    ).orderBy("user_id")
+
+
+def _q_props_key_stats_events(spark, sf_dir):
+    """JSON-scalar extraction over the REAL raw-JSON column
+    (events.props = '{"k": <int>}'): per event type, count / distinct /
+    min / max / exact-integer mean of k. get_json_object stays in one
+    Catalyst projection (single parse per row); mean is derived from
+    the exact integer sum so no float-sum order dependence."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    g = ev.select(F.col("event_type"), k.alias("k")).groupBy("event_type")
+    return g.agg(
+        F.count("k").alias("n"),
+        F.countDistinct("k").alias("n_distinct"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.round(
+            F.sum("k").cast("double") / F.count("k"), 6
+        ).alias("k_mean"),
+    ).orderBy("event_type")
+
+
+def _q_checkpointed_validation_documents(spark, sf_dir):
+    """The north rule's resumability component end-to-end, as an
+    oracle-checked query: a checkpointed validation run (8 key-range
+    buckets, lineage + metrics tables, per-wave commits) followed by a
+    RESUMED run that must skip every committed bucket. The output
+    re-aggregates the committed per-bucket metrics; the oracle
+    recomputes the totals INDEPENDENTLY by direct validation SQL over
+    documents — so lost/duplicated rows across buckets, waves, crashes
+    or resumes would show as a totals mismatch (the bucket hash itself
+    is xxhash64, engine-local by design; the invariant checked is that
+    bucketing + resume is lossless and exactly-once)."""
+    import tempfile
+
+    from schematic_spark.sources import ParquetDirFormat
+    from schematic_spark.sources.checkpoint import (
+        partition_passfail, run_validation_checkpointed,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    fmt = ParquetDirFormat(tempfile.mkdtemp(prefix="ck_oracle_"))
+    spec = _documents_spec()
+    first = run_validation_checkpointed(
+        spark, docs, spec, fmt,
+        key_col="doc_id", n_buckets=8, run_id="oracle-run",
+        input_snapshot="sf-docs", commit_every=3,
+    )
+    second = run_validation_checkpointed(
+        spark, docs, spec, fmt,
+        key_col="doc_id", n_buckets=8, run_id="oracle-run",
+        input_snapshot="sf-docs", commit_every=3,
+    )
+    pf = partition_passfail(spark, fmt)
+    return pf.agg(
+        F.count(F.lit(1)).alias("n_buckets_complete"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_bad_rows").cast("long").alias("n_bad_rows"),
+        F.sum("n_violations").cast("long").alias("n_violations"),
+    ).select(
+        "*",
+        F.lit(len(first["processed_buckets"])).cast("int")
+        .alias("n_processed_first"),
+        F.lit(len(second["skipped_buckets"])).cast("int")
+        .alias("n_skipped_on_resume"),
+    )
+
+
 def _q_curation_funnel_documents(spark, sf_dir):
     """The data-curation story end-to-end: every document is dropped by
     the FIRST failing filter (lang allowlist → quality score →
@@ -1376,6 +1490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_embeddings": _q_dedup_survivors_embeddings,
         "tpch_q1_pricing": _q_tpch_q1_pricing,
         "tpch_q3_revenue": _q_tpch_q3_revenue,
+        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
+        "conversion_funnel_events": _q_conversion_funnel_events,
+        "props_key_stats_events": _q_props_key_stats_events,
+        "checkpointed_validation_documents":
+            _q_checkpointed_validation_documents,
         "rolling_7d_events": _q_rolling_7d_events,
         "packed_batches_documents": _q_packed_batches_documents,
         "contamination_src0": _q_contamination_src0,
@@ -2704,6 +2823,104 @@ def oracle_sql() -> dict[str, str]:
         FROM g
         ORDER BY rev DESC, l_orderkey
         LIMIT 10
+    """
+
+    out["tpch_q18_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+        SELECT c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(CAST(b.sq AS DOUBLE), 2) AS total_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 100
+    """
+
+    # funnel: min view ts, then min click strictly after it, then min
+    # purchase strictly after that — the join form is the oracle twin
+    # of the engine's sorted-array fold (both are timestamp-driven and
+    # tie-safe, so the results agree independent of event order)
+    out["conversion_funnel_events"] = """
+        WITH base AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type AS t
+          FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        u AS (SELECT DISTINCT user_id FROM base),
+        v AS (SELECT user_id, min(us) AS ts1
+              FROM base WHERE t = 'view' GROUP BY user_id),
+        c AS (SELECT b.user_id, min(b.us) AS ts2
+              FROM base b JOIN v ON b.user_id = v.user_id
+              WHERE b.t = 'click' AND b.us > v.ts1
+              GROUP BY b.user_id),
+        p AS (SELECT b.user_id, min(b.us) AS ts3
+              FROM base b JOIN c ON b.user_id = c.user_id
+              WHERE b.t = 'purchase' AND b.us > c.ts2
+              GROUP BY b.user_id)
+        SELECT u.user_id,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN v.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS stage,
+               CASE WHEN p.user_id IS NOT NULL THEN p.ts3
+                    WHEN c.user_id IS NOT NULL THEN c.ts2
+                    WHEN v.user_id IS NOT NULL THEN v.ts1
+                    END AS reached_us
+        FROM u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+        ORDER BY u.user_id NULLS FIRST
+    """
+
+    out["props_key_stats_events"] = """
+        WITH j AS (
+          SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS k
+          FROM events)
+        SELECT event_type,
+               CAST(count(k) AS BIGINT) AS n,
+               CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+               min(k) AS k_min,
+               max(k) AS k_max,
+               round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS k_mean
+        FROM j GROUP BY event_type
+        ORDER BY event_type NULLS FIRST
+    """
+
+    # resumability invariant: committed per-bucket metrics must
+    # re-aggregate to a DIRECT validation of the table (same ns/nv
+    # arithmetic as verdict_summary_documents), and the resumed run
+    # skips all 8 buckets — lost or double-counted rows would break
+    # the totals
+    out["checkpointed_validation_documents"] = """
+        WITH v AS (
+          SELECT
+            (CASE WHEN text IS NULL OR lang IS NULL
+                  OR n_chars IS NULL THEN 1 ELSE 0 END) AS ns,
+            (CASE WHEN text IS NOT NULL
+                  AND NOT (length(text) >= 1) THEN 1 ELSE 0 END)
+          + (CASE WHEN lang IS NOT NULL AND lang NOT IN
+                  ('en','de','fr','es') THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars IS NOT NULL
+                  AND NOT (n_chars >= 0) THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars IS NOT NULL
+                  AND NOT (n_chars <= 500) THEN 1 ELSE 0 END) AS nv
+          FROM documents)
+        SELECT CAST(8 AS BIGINT) AS n_buckets_complete,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN ns > 0 OR nv > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad_rows,
+               CAST(sum(nv) AS BIGINT) AS n_violations,
+               CAST(8 AS INT) AS n_processed_first,
+               CAST(8 AS INT) AS n_skipped_on_resume
+        FROM v
     """
 
     # one shared rid base: the three signals are derived from the SAME

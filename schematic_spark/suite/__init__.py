@@ -14,7 +14,7 @@ from .drift import (  # noqa: F401
     psi_from_counts,
 )
 from .referential import dangling_rows, referential_report  # noqa: F401
-from .sessions import session_stats, sessionize  # noqa: F401
+from .sessions import funnel_stages, session_stats, sessionize  # noqa: F401
 from .stats import column_stats, length_histogram  # noqa: F401
 from .uniqueness import (  # noqa: F401
     duplicate_keys,

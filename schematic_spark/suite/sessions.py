@@ -96,3 +96,70 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("total_value"))
     return sess.groupBy(user_col, "session_idx").agg(*aggs)
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel (the conversion-funnel / sequence-match
+    operator — MATCH_RECOGNIZE's simplest shape): per actor, the
+    furthest step of ``steps`` reached IN ORDER, where each step must
+    occur STRICTLY LATER (event time) than the step before it. Returns
+    ``(user, stage, reached_us)``: stage 0 = none of the sequence
+    matched (the actor still had at least one step-typed event), stage
+    k = the first k steps matched; ``reached_us`` is the unix-micros
+    timestamp at which the furthest step was reached (null at stage 0).
+
+    Semantics are timestamp-driven and tie-safe: a step sharing the
+    exact timestamp of the previous step does NOT advance the funnel
+    (strict >), so results are independent of intra-timestamp event
+    order on every engine.
+
+    Scale shape: rows are pre-filtered to the step types, then ONE
+    shuffle groups by actor; the per-actor event list is folded
+    row-locally (sort_array + aggregate, pure Catalyst — no window, no
+    python). The same hot-actor caveat as sessionize applies: one
+    actor's step events must fit one task; pre-filtering to step types
+    is what keeps the per-actor payload small.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts_us = epoch_micros(F.col(ts_col), df.schema[ts_col].dataType)
+    per_user = (
+        df.where(F.col(type_col).isin(*steps))
+        .select(
+            F.col(user_col),
+            F.struct(
+                ts_us.alias("us"), F.col(type_col).alias("t")
+            ).alias("_e"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("_e")).alias("_evs"))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("long").alias("ts")
+    )
+
+    def fold(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            advance = (acc["stage"] == i) & (e["t"] == F.lit(s))
+            if i > 0:
+                advance = advance & (e["us"] > acc["ts"])
+            out = F.when(
+                advance,
+                F.struct(F.lit(i + 1).alias("stage"), e["us"].alias("ts")),
+            ).otherwise(out)
+        return out
+
+    final = F.aggregate("_evs", init, fold)
+    return per_user.select(
+        F.col(user_col),
+        final["stage"].alias("stage"),
+        final["ts"].alias("reached_us"),
+    )

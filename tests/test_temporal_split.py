@@ -66,6 +66,39 @@ def test_sessionize_equal_ts_ties_deterministic(spark):
     assert got == {0: 1, 1: 1, 2: 1, 3: 1, 9: 2}
 
 
+def test_funnel_stages_order_and_tie_semantics(spark):
+    from schematic_spark.suite import funnel_stages
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", _ts(0.0)), (1, "click", _ts(10.0)),
+        (1, "purchase", _ts(20.0)),
+        # u2: purchase BEFORE the view→click sequence → stage 2 only
+        (2, "purchase", _ts(0.0)), (2, "view", _ts(5.0)),
+        (2, "click", _ts(9.0)),
+        # u3: click shares the view's exact timestamp → strict > does
+        # NOT advance; the later click does
+        (3, "view", _ts(0.0)), (3, "click", _ts(0.0)),
+        (3, "click", _ts(4.0)),
+        # u4: only non-step events → absent from output entirely
+        (4, "error", _ts(1.0)),
+        # u5: click without any view → stage 0
+        (5, "click", _ts(2.0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.user_id: (r.stage, r.reached_us)
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got[1][0] == 3
+    assert got[2][0] == 2
+    assert got[3] == (2, got[3][1]) and got[3][1] > 0  # the ts(4) click
+    assert 4 not in got
+    assert got[5] == (0, None)
+
+
 # ---------------------------------------------------------------------------
 # asof_join
 # ---------------------------------------------------------------------------
