@@ -337,6 +337,51 @@ class TestTpchPlans:
         assert "ResolvedHint" not in analyzed, analyzed
         assert "UnresolvedHint" not in analyzed
 
+    def test_deciles_no_per_type_total_sort(self, spark):
+        """value_deciles_by_type must NOT contain a window/ntile — the
+        per-type total sort funnels the corpus through one reducer per
+        event type at scale. The scalable form is percentile cut-points
+        (hash-agg) + comparison binning."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["value_deciles_by_type"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "ntile(10)" not in plan, plan
+        # the cut-point aggregate is present (percentile hash-agg)
+        assert "percentile" in plan, plan
+
+    def test_funnel_single_user_exchange_no_window(self, spark):
+        """conversion_funnel_events: one hash exchange on user_id (plus
+        the canonical-output range sort); fold is row-local — no Window
+        operator, no python eval."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["conversion_funnel_events"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        hash_ex = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(hash_ex) == 1, plan
+
+    def test_pack_two_phase_offsets_broadcast(self, spark):
+        """Two-phase packing: the per-shard offset table joins back via
+        broadcast (bounded by parameters, not data) and the big side
+        windows over (shard, block) — never a per-shard-only sort."""
+        from schematic_spark.functions import pack_documents
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = pack_documents(
+            docs, token_col="n_chars", budget=1024, shards=8,
+            two_phase=True,
+        )
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "_blk" in plan  # the block column partitions the window
+
     def test_q1_decimal_sums_no_double_aggregation(self, spark):
         """Money aggregates must run in DECIMAL (exact, partition-order
         independent) — a sum(double) in the agg would reintroduce
