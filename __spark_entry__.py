@@ -691,7 +691,13 @@ def _q_winnow_fingerprints_documents(spark, sf_dir):
     from raw 60-bit integers and nondeterministic row order)."""
     from schematic_spark.functions import winnow_fingerprints
 
-    docs = _read(spark, sf_dir, "documents")
+    # canonical order comes from sorting the INPUT by its unique key:
+    # the fingerprint projection is narrow (preserves sort), so the
+    # output is doc_id-ordered without a post-compute sort — ordering
+    # the computed output instead makes the range-partitioner's
+    # sampling pass execute the whole md5-gram pipeline twice (a
+    # measured 30% regression on this query)
+    docs = _read(spark, sf_dir, "documents").orderBy("doc_id")
     fp = winnow_fingerprints(docs, "text", k=8, window=4)
     return fp.select(
         "doc_id",
@@ -703,7 +709,7 @@ def _q_winnow_fingerprints_documents(spark, sf_dir):
                 lambda a, x: a.bitwiseXOR(x),
             ),
         ).alias("fp_xor_hex"),
-    ).orderBy("doc_id", "n_fp", "fp_xor_hex")
+    )
 
 
 def _q_shared_passages_documents(spark, sf_dir):

@@ -244,6 +244,8 @@ def main():
         "value": out["value"],
         "unit": out["unit"],
         "docs_per_sec": out["docs_per_sec"],
+        "suite": out["suite"],  # 6 phase timings — bench_scaling reads these
+        "suite_n_docs": out["suite_n_docs"],
         "queries": {
             k: qtimes[k]
             for k in sorted(qtimes, key=lambda k: -qtimes[k])[:8]

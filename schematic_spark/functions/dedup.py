@@ -634,19 +634,33 @@ def near_duplicate_components(
     id_b: str = "id_b",
     *,
     max_iter: int = 12,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs`` — connected
-    components by min-label propagation with pointer doubling: each
-    round every node takes the minimum label in its closed
-    neighborhood, then follows its label's label one hop
-    (``label := label[label]``), so chains contract geometrically and
-    the loop converges in O(log diameter) rounds — a duplicate *chain*
-    of diameter 2^12 converges within the default ``max_iter``.
-    Each round is one join + one hash-agg over the EDGE list (never
-    the corpus) plus one self-join of the (node, label) table.
-    Early-exits when a round changes nothing; if ``max_iter`` rounds
-    pass without convergence it RAISES rather than silently returning
-    split components.
+    components, component label = min id (deterministic).
+
+    Two physical strategies behind one semantics (the standard hybrid
+    every graph engine uses — iterative Spark rounds cost seconds of
+    scheduling each, which dwarfs small graphs):
+
+    * **small graphs** (undirected edge rows <= ``driver_threshold``,
+      checked with one count over the cached edge list): union-find
+      with path compression on the driver. A 500k-edge list is a few
+      MB — union-find is microseconds per edge and exact. Pass
+      ``driver_threshold=0`` to force the distributed path.
+    * **large graphs**: min-label propagation with pointer doubling —
+      each round every node takes the minimum label in its closed
+      neighborhood, then follows its label's label one hop
+      (``label := label[label]``), so chains contract geometrically
+      and the loop converges in O(log diameter) rounds — a duplicate
+      *chain* of diameter 2^12 converges within the default
+      ``max_iter``. Each round is one join + one hash-agg over the
+      EDGE list (never the corpus) plus one self-join of the
+      (node, label) table, with the convergence metric riding the
+      round's checkpoint job via ``observe``. Early-exits when a
+      round changes nothing; if ``max_iter`` rounds pass without
+      convergence it RAISES rather than silently returning split
+      components.
 
     This is the missing step between pair discovery (MinHash/SimHash/
     embedding LSH) and deduplication policy: keep min(id) per component
@@ -661,6 +675,46 @@ def near_duplicate_components(
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates().cache()
+
+    if driver_threshold and und.count() <= driver_threshold:
+        # small-graph fast path: exact union-find on the driver. Union
+        # by MIN root (attach the larger root under the smaller) makes
+        # the final root of every tree the component's minimum id —
+        # identical output to the distributed fixpoint.
+        rows = und.collect()
+        und.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[id_a].dataType
+        schema = StructType([
+            StructField("id", id_type), StructField("component", id_type),
+        ])
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(v, find(v)) for v in parent], schema
+        )
     # initialize with the closed-neighborhood minimum — the identity
     # initialization's entire first round fused into one hash-agg, so
     # shallow graphs (the common near-dup case: pairs, triangles)

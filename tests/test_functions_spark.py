@@ -400,12 +400,15 @@ class TestNearDupComponents:
         )
         comp = {
             r["id"]: r["component"]
-            for r in near_duplicate_components(pairs).collect()
+            for r in near_duplicate_components(
+                pairs, driver_threshold=0  # force the distributed path
+            ).collect()
         }
         assert comp == {i: 0 for i in range(41)}
 
     def test_nonconvergence_raises_not_silent(self, spark):
-        """max_iter too small must RAISE, never return split components."""
+        """max_iter too small must RAISE, never return split components
+        (distributed path — the driver path is always exact)."""
         import pytest
 
         from schematic_spark.functions import near_duplicate_components
@@ -414,7 +417,34 @@ class TestNearDupComponents:
             [(i, i + 1) for i in range(30)], "id_a long, id_b long"
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            near_duplicate_components(pairs, max_iter=2).collect()
+            near_duplicate_components(
+                pairs, max_iter=2, driver_threshold=0
+            ).collect()
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        """The union-find fast path and the pointer-doubling fixpoint
+        are two strategies for ONE semantics — random graphs must
+        produce identical (id, component) maps."""
+        import random
+
+        from schematic_spark.functions import near_duplicate_components
+
+        rng = random.Random(13)
+        edges = list({
+            tuple(sorted(rng.sample(range(120), 2))) for _ in range(150)
+        })
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        small = {
+            r["id"]: r["component"]
+            for r in near_duplicate_components(pairs).collect()
+        }
+        dist = {
+            r["id"]: r["component"]
+            for r in near_duplicate_components(
+                pairs, driver_threshold=0
+            ).collect()
+        }
+        assert small == dist and len(small) > 0
 
 
 class TestWinnowing:
