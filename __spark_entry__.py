@@ -1250,7 +1250,9 @@ def _q_props_key_stats_events(spark, sf_dir):
     Catalyst projection (single parse per row); mean is derived from
     the exact integer sum so no float-sum order dependence."""
     ev = _read(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast mirrors the oracle's TRY_CAST: a non-integer k becomes
+    # NULL instead of an ANSI CAST_INVALID_INPUT crash
+    k = F.get_json_object("props", "$.k").try_cast("long")
     g = ev.select(F.col("event_type"), k.alias("k")).groupBy("event_type")
     return g.agg(
         F.count("k").alias("n"),
@@ -1295,7 +1297,7 @@ def _q_checkpointed_validation_documents(spark, sf_dir):
         input_snapshot="sf-docs", commit_every=3,
     )
     pf = partition_passfail(spark, fmt)
-    return pf.agg(
+    summary = pf.agg(
         F.count(F.lit(1)).alias("n_buckets_complete"),
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("n_bad_rows").cast("long").alias("n_bad_rows"),
@@ -1307,6 +1309,14 @@ def _q_checkpointed_validation_documents(spark, sf_dir):
         F.lit(len(second["skipped_buckets"])).cast("int")
         .alias("n_skipped_on_resume"),
     )
+    # materialize the 1-row summary so the checkpoint tree can be
+    # deleted now — returning a lazy plan over the temp files would
+    # leak one violations dump per invocation
+    rows = summary.collect()
+    import shutil
+
+    shutil.rmtree(fmt.root, ignore_errors=True)
+    return spark.createDataFrame(rows, summary.schema)
 
 
 def _q_curation_funnel_documents(spark, sf_dir):
@@ -2309,8 +2319,10 @@ def oracle_sql() -> dict[str, str]:
                           CAST(coalesce(list_aggregate(fps, 'bit_xor'),
                                         0) AS BIGINT)) AS fp_xor_hex
             FROM fp
-            ORDER BY doc_id NULLS FIRST, n_fp NULLS FIRST,
-                     fp_xor_hex NULLS FIRST
+            -- canonical key = doc_id alone, matching the Spark side's
+            -- input sort (doc_id is unique + non-null in every
+            -- documents table; verified at all three SFs)
+            ORDER BY doc_id NULLS FIRST
         """,
         # copied-passage pairs: identical winnow arithmetic at
         # k=16/window=8, hot-fingerprint cap as a window count over the
@@ -2844,7 +2856,8 @@ def oracle_sql() -> dict[str, str]:
         FROM big b
         JOIN orders o ON b.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
-        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        ORDER BY o.o_totalprice DESC NULLS LAST,
+                 o.o_orderdate NULLS FIRST, o.o_orderkey NULLS FIRST
         LIMIT 100
     """
 
@@ -2861,26 +2874,29 @@ def oracle_sql() -> dict[str, str]:
         v AS (SELECT user_id, min(us) AS ts1
               FROM base WHERE t = 'view' GROUP BY user_id),
         c AS (SELECT b.user_id, min(b.us) AS ts2
-              FROM base b JOIN v ON b.user_id = v.user_id
+              FROM base b JOIN v
+                ON b.user_id IS NOT DISTINCT FROM v.user_id
               WHERE b.t = 'click' AND b.us > v.ts1
               GROUP BY b.user_id),
         p AS (SELECT b.user_id, min(b.us) AS ts3
-              FROM base b JOIN c ON b.user_id = c.user_id
+              FROM base b JOIN c
+                ON b.user_id IS NOT DISTINCT FROM c.user_id
               WHERE b.t = 'purchase' AND b.us > c.ts2
               GROUP BY b.user_id)
         SELECT u.user_id,
-               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
-                         WHEN c.user_id IS NOT NULL THEN 2
-                         WHEN v.user_id IS NOT NULL THEN 1
+               -- probe the ts columns, not joined user_id: a matched
+               -- NULL-user row still carries NULL user_id
+               CAST(CASE WHEN p.ts3 IS NOT NULL THEN 3
+                         WHEN c.ts2 IS NOT NULL THEN 2
+                         WHEN v.ts1 IS NOT NULL THEN 1
                          ELSE 0 END AS INT) AS stage,
-               CASE WHEN p.user_id IS NOT NULL THEN p.ts3
-                    WHEN c.user_id IS NOT NULL THEN c.ts2
-                    WHEN v.user_id IS NOT NULL THEN v.ts1
-                    END AS reached_us
+               coalesce(p.ts3, c.ts2, v.ts1) AS reached_us
         FROM u
-        LEFT JOIN v ON u.user_id = v.user_id
-        LEFT JOIN c ON u.user_id = c.user_id
-        LEFT JOIN p ON u.user_id = p.user_id
+        -- null-safe joins: the engine's groupBy keeps a NULL-user
+        -- group; plain equality would strand it at stage 0
+        LEFT JOIN v ON u.user_id IS NOT DISTINCT FROM v.user_id
+        LEFT JOIN c ON u.user_id IS NOT DISTINCT FROM c.user_id
+        LEFT JOIN p ON u.user_id IS NOT DISTINCT FROM p.user_id
         ORDER BY u.user_id NULLS FIRST
     """
 

@@ -665,9 +665,13 @@ def near_duplicate_components(
     This is the missing step between pair discovery (MinHash/SimHash/
     embedding LSH) and deduplication policy: keep min(id) per component
     and drop the rest."""
+    # NULL ids cannot participate in identity-keyed clustering: the
+    # distributed joins would drop them silently and the driver
+    # union-find would crash comparing None — exclude them explicitly
+    # so both strategies agree
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     # edges are re-joined every round → cache; labels lineage is
     # truncated per round (localCheckpoint) or each iteration's plan
     # would nest the previous one and every action would re-execute the
@@ -882,11 +886,19 @@ def ngram_contamination(
             .select("gram")
         )
         if log_dropped:
+            # telemetry costs one eager action at construction time;
+            # the persist makes it the ONLY evaluation of the gram agg
+            # (the cached tiny hot set feeds both anti-joins later).
+            # stderr, not stdout — stdout carries the bench/driver
+            # JSON protocol
+            import sys as _sys
+
             hot = hot.persist()
             n_hot = hot.count()
             print(
                 f"ngram_contamination: max_gram_group={max_gram_group} "
-                f"dropped {n_hot} hot gram(s)"
+                f"dropped {n_hot} hot gram(s)",
+                file=_sys.stderr,
             )
         # no forced broadcast: the hot set scales with corpus
         # boilerplate — AQE picks the strategy (CLAUDE.md rule)

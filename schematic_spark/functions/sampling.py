@@ -142,16 +142,29 @@ def pack_documents(
         "shard", "_blk",
         F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off"),
     )
+    # null-SAFE equi-join: a NULL id yields NULL shard/_key/_blk (md5
+    # over null-propagating concat); a plain equi-join would silently
+    # drop those rows and break the bit-identical-to-single-phase
+    # contract (the single-phase window keeps the NULL partition)
+    off = offsets.select(
+        F.col("shard").alias("_o_shard"),
+        F.col("_blk").alias("_o_blk"),
+        "_off",
+    )
     return (
         out.withColumn("_local_before", local_before)
-        .join(F.broadcast(offsets), ["shard", "_blk"])
+        .join(
+            F.broadcast(off),
+            F.col("shard").eqNullSafe(F.col("_o_shard"))
+            & F.col("_blk").eqNullSafe(F.col("_o_blk")),
+        )
         .withColumn(
             "batch_idx",
             F.floor(
                 (F.col("_local_before") + F.col("_off")) / F.lit(budget)
             ).cast("int"),
         )
-        .drop("_key", "_blk", "_local_before", "_off")
+        .drop("_key", "_blk", "_local_before", "_off", "_o_shard", "_o_blk")
     )
 
 

@@ -157,9 +157,12 @@ def funnel_stages(
             ).otherwise(out)
         return out
 
-    final = F.aggregate("_evs", init, fold)
-    return per_user.select(
+    # materialize the fold ONCE, then derive fields — referencing the
+    # HOF tree twice in one projection would fold every event list
+    # twice (CSE does not dedupe across HOF lambdas; repo rule)
+    folded = per_user.withColumn("_f", F.aggregate("_evs", init, fold))
+    return folded.select(
         F.col(user_col),
-        final["stage"].alias("stage"),
-        final["ts"].alias("reached_us"),
+        F.col("_f")["stage"].alias("stage"),
+        F.col("_f")["ts"].alias("reached_us"),
     )

@@ -308,6 +308,31 @@ class TestPackDocuments:
         }
         assert one == two
 
+    def test_two_phase_keeps_null_ids(self, spark):
+        # NULL doc_id → NULL shard/block; the offset join must be
+        # null-safe or those rows vanish (review-found row loss)
+        from schematic_spark.functions import pack_documents
+
+        rows = [(f"d{i}", 100) for i in range(20)] + [
+            (None, 70), (None, 90),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+        one = pack_documents(
+            df, token_col="n_tok", budget=300, shards=4
+        ).collect()
+        two = pack_documents(
+            df, token_col="n_tok", budget=300, shards=4, two_phase=True,
+        ).collect()
+        assert len(one) == 22 and len(two) == 22
+        k1 = sorted((r.doc_id, r.shard, r.batch_idx) for r in one
+                    if r.doc_id is not None)
+        k2 = sorted((r.doc_id, r.shard, r.batch_idx) for r in two
+                    if r.doc_id is not None)
+        assert k1 == k2
+        n1 = sorted((r.n_tok, r.batch_idx) for r in one if r.doc_id is None)
+        n2 = sorted((r.n_tok, r.batch_idx) for r in two if r.doc_id is None)
+        assert n1 == n2
+
     def test_two_phase_wide_shards(self, spark):
         # shards >= 1024: the parallelism knob the 100 TB path uses —
         # every (shard, batch) stays dense and budget-bounded

@@ -421,6 +421,24 @@ class TestNearDupComponents:
                 pairs, max_iter=2, driver_threshold=0
             ).collect()
 
+    def test_null_ids_excluded_not_crashing(self, spark):
+        """NULL ids can't join an identity-keyed cluster: both paths
+        must drop the NULL endpoints instead of crashing (driver
+        union-find compared None) or silently diverging."""
+        from schematic_spark.functions import near_duplicate_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (None, 5), (7, None)], "id_a long, id_b long"
+        )
+        for thr in (500_000, 0):
+            comp = {
+                r["id"]: r["component"]
+                for r in near_duplicate_components(
+                    pairs, driver_threshold=thr
+                ).collect()
+            }
+            assert comp == {1: 1, 2: 1}, (thr, comp)
+
     def test_driver_and_distributed_paths_agree(self, spark):
         """The union-find fast path and the pointer-doubling fixpoint
         are two strategies for ONE semantics — random graphs must
