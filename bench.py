@@ -36,8 +36,17 @@ def build_spark(cpus: int):
         # local mode: ALL executor threads share this one heap — size it
         # so per-task memory doesn't shrink when parallelism grows
         # (16g spilled at local[32]; 64g GC'd pathologically; 24g is the
-        # measured sweet spot on this 125g box)
-        .config("spark.driver.memory", "24g")
+        # measured sweet spot on this 125g box). Overridable for the
+        # multi-JVM executor-scaling experiment (several concurrent
+        # JVMs must fit the box)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # multi-JVM emulation fidelity: a real k-core executor's JVM
+        # sizes its GC/compiler pools for k cores; an unconstrained JVM
+        # on this 32-core box spawns ~23 GC threads EACH — four
+        # concurrent JVMs then thrash ~90 GC threads
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
@@ -91,8 +100,21 @@ def full_suite(spark, n_docs: int) -> dict:
     t_gen = time.time() - t_gen0
 
     t0 = time.time()
-    docs = spark.read.parquet(f"{tmp}/docs")
-    base_docs = spark.read.parquet(f"{tmp}/docs_base")
+    # BENCH_FILE_SHARD="i/k": process only the i-th of k slices of the
+    # input files — the multi-JVM executor-scaling experiment runs k
+    # concurrent JVMs, each on a disjoint slice (emulating k executors
+    # with separate heaps/GC, which a single local[n*k] JVM does not)
+    shard = os.environ.get("BENCH_FILE_SHARD")
+    if shard:
+        import glob as _glob
+        i, k = (int(x) for x in shard.split("/"))
+        dfiles = sorted(_glob.glob(f"{tmp}/docs/part-*"))[i::k]
+        bfiles = sorted(_glob.glob(f"{tmp}/docs_base/part-*"))[i::k]
+        docs = spark.read.parquet(*dfiles)
+        base_docs = spark.read.parquet(*bfiles)
+    else:
+        docs = spark.read.parquet(f"{tmp}/docs")
+        base_docs = spark.read.parquet(f"{tmp}/docs_base")
     media = spark.read.parquet(f"{tmp}/media")
 
     # 1. row-local validation (one projection) + per-verdict counts
@@ -138,6 +160,10 @@ def full_suite(spark, n_docs: int) -> dict:
     total = time.time() - t0
     if not keep:
         shutil.rmtree(tmp, ignore_errors=True)
+    if shard:
+        # a slice processed fewer docs than the nominal n_docs —
+        # throughput must use the actual validated row count
+        n_docs = sum(verdicts.values())
     return {
         "n_docs": n_docs,
         "total_sec": total,
