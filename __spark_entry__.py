@@ -1229,6 +1229,30 @@ def _q_tpch_q18_large_orders(spark, sf_dir):
     )
 
 
+def _q_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6-style revenue forecast — the canonical predicate-
+    pushdown showcase: every filter (date range, discount band,
+    quantity cap) reaches the parquet scan as a PushedFilter, the agg
+    is one partial+final sum over DECIMAL-exact money, output is one
+    row. At 100 TB this is the query shape that lives or dies on scan
+    pruning, which is why the plan is regression-tested."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * F.col("l_discount").cast("decimal(8,4)")
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"),
+    )
+
+
 def _q_conversion_funnel_events(spark, sf_dir):
     """Ordered-sequence conversion funnel (suite/sessions.funnel_stages):
     per user, how far through view → click → purchase the user got,
@@ -1507,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": _q_tpch_q1_pricing,
         "tpch_q3_revenue": _q_tpch_q3_revenue,
         "tpch_q18_large_orders": _q_tpch_q18_large_orders,
+        "tpch_q6_forecast": _q_tpch_q6_forecast,
         "conversion_funnel_events": _q_conversion_funnel_events,
         "props_key_stats_events": _q_props_key_stats_events,
         "checkpointed_validation_documents":
@@ -2859,6 +2884,18 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY o.o_totalprice DESC NULLS LAST,
                  o.o_orderdate NULLS FIRST, o.o_orderkey NULLS FIRST
         LIMIT 100
+    """
+
+    out["tpch_q6_forecast"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * CAST(l_discount AS DECIMAL(8,4)))
+                         AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
     """
 
     # funnel: min view ts, then min click strictly after it, then min

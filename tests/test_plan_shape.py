@@ -382,6 +382,23 @@ class TestTpchPlans:
         assert "BroadcastHashJoin" in plan, plan
         assert "_blk" in plan  # the block column partitions the window
 
+    def test_q6_filters_push_to_scan(self, spark):
+        """Q6's whole point: date range, discount band, and quantity
+        cap all reach the parquet scan as PushedFilters; the scan reads
+        only the four referenced columns."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["tpch_q6_forecast"](spark, SF_DIR)
+        plan = _plan(df)
+        scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert scan, plan
+        pushed = scan[0]
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pushed, pushed
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "l_extendedprice" in read
+        assert "l_returnflag" not in read  # column pruning held
+
     def test_q1_decimal_sums_no_double_aggregation(self, spark):
         """Money aggregates must run in DECIMAL (exact, partition-order
         independent) — a sum(double) in the agg would reintroduce

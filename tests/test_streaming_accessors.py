@@ -333,6 +333,41 @@ class TestBatchStreamDifferential:
         # the boundary event really was kept in-session
         assert (1, 2, 3.0) in batch
 
+    def test_dedup_stream_equals_batch_distinct(self, spark, tmp_path):
+        import datetime as dt
+
+        from schematic_spark.streaming import dedup_stream
+
+        t0 = dt.datetime(2024, 3, 1)
+        rows = [
+            (k, t0 + dt.timedelta(seconds=5 * i))
+            for i, k in enumerate([1, 2, 1, 3, 2, 1, 4, 4, 5])
+        ]
+        src = str(tmp_path / "dd_src")
+        spark.createDataFrame(
+            rows, "k long, ts timestamp"
+        ).coalesce(1).write.parquet(src)
+
+        batch_keys = {
+            r.k for r in spark.read.parquet(src)
+            .dropDuplicates(["k"]).collect()
+        }
+
+        stream = (
+            spark.readStream.schema("k long, ts timestamp").parquet(src)
+        )
+        q = (
+            dedup_stream(stream, ["k"], "ts", watermark="1 minute")
+            .writeStream.format("memory").queryName("dd_diff")
+            .option("checkpointLocation", str(tmp_path / "ck_dd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.sql("SELECT k FROM dd_diff").collect()
+        assert {r.k for r in streamed} == batch_keys == {1, 2, 3, 4, 5}
+        assert len(streamed) == 5  # exactly one survivor per key
+
     def test_windowed_verdict_counts_equals_batch(self, spark, tmp_path):
         import datetime as dt
 
