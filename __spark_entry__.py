@@ -1078,16 +1078,51 @@ def _q_value_deciles_by_type(spark, sf_dir):
     Ties at a cut-point land in the LOWER bucket on both engines; the
     cut-point doubles are bit-identical cross-engine because both use
     rank = q*(n-1) linear interpolation on the sorted values."""
+    from pyspark.sql import Window
+
     ev = _read(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    qs = [i / 10.0 for i in range(1, 10)]
-    cuts = ev.groupBy("event_type").agg(
-        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("_cuts")
+    # DISCRETE cut-points (type-1 quantile): the smallest data value v
+    # with cumulative count >= ceil(q*n/10), selected with pure integer
+    # rank arithmetic — interpolated percentiles (Spark `percentile` vs
+    # DuckDB quantile_cont) agree only to ~1 ulp because the two
+    # engines use different FP forms of the same formula, and 2-decimal
+    # data sits exactly on those boundaries (bit us at sf0.1). A
+    # selected data value read from the same parquet is bit-identical
+    # by construction. The rank window runs over DISTINCT (type, value)
+    # rows — cent-resolution data keeps that tiny; for unbounded
+    # continuous cardinality swap in approx_percentile.
+    vc = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = vc.select(
+        "event_type", "value",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(
+            Window.partitionBy("event_type")
+        ).alias("_n"),
+    )
+    # cum >= ceil(q*n/10) expressed divisionless as 10*cum >= q*n —
+    # pure int64 comparison, exact on both engines (float q/10
+    # multiplication misrounds exact multiples: 0.7*20000 ->
+    # 14000.000000000002 -> ceil 14001)
+    cuts = t.groupBy("event_type").agg(*[
+        F.min(
+            F.when(
+                F.col("_cum") * 10 >= F.lit(q) * F.col("_n"),
+                F.col("value"),
+            )
+        ).alias(f"_c{q}")
+        for q in range(1, 10)
+    ])
     d = ev.join(cuts, "event_type").select(
         "event_type",
         "value",
         F.aggregate(
-            "_cuts",
+            F.array(*[F.col(f"_c{q}") for q in range(1, 10)]),
             F.lit(1),
             lambda acc, c: acc
             + F.when(F.col("value") > c, F.lit(1)).otherwise(F.lit(0)),
@@ -2781,15 +2816,46 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
 
+    # discrete cut-points via divisionless integer rank selection —
+    # selected DATA values are bit-identical across engines, unlike
+    # interpolated quantile_cont vs Spark percentile (1-ulp apart,
+    # which flips 2-decimal boundary values; bit us at sf0.1)
     out["value_deciles_by_type"] = """
-        WITH cuts AS (
+        WITH vc AS (
+          SELECT event_type, value, count(*) AS cnt
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, value),
+        t AS (
+          SELECT event_type, value,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM vc),
+        cuts AS (
           SELECT event_type,
-                 quantile_cont(value,
-                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
-          FROM events WHERE value IS NOT NULL GROUP BY event_type),
+                 min(CASE WHEN cum*10 >= 1*n THEN value END) AS c1,
+                 min(CASE WHEN cum*10 >= 2*n THEN value END) AS c2,
+                 min(CASE WHEN cum*10 >= 3*n THEN value END) AS c3,
+                 min(CASE WHEN cum*10 >= 4*n THEN value END) AS c4,
+                 min(CASE WHEN cum*10 >= 5*n THEN value END) AS c5,
+                 min(CASE WHEN cum*10 >= 6*n THEN value END) AS c6,
+                 min(CASE WHEN cum*10 >= 7*n THEN value END) AS c7,
+                 min(CASE WHEN cum*10 >= 8*n THEN value END) AS c8,
+                 min(CASE WHEN cum*10 >= 9*n THEN value END) AS c9
+          FROM t GROUP BY event_type),
         d AS (
           SELECT e.event_type, e.value,
-                 1 + len([c for c in cs if e.value > c]) AS decile
+                 1 + (CASE WHEN e.value > c1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c4 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c6 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c7 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c8 THEN 1 ELSE 0 END)
+                   + (CASE WHEN e.value > c9 THEN 1 ELSE 0 END)
+                   AS decile
           FROM events e JOIN cuts USING (event_type)
           WHERE e.value IS NOT NULL)
         SELECT event_type, decile,

@@ -338,18 +338,27 @@ class TestTpchPlans:
         assert "UnresolvedHint" not in analyzed
 
     def test_deciles_no_per_type_total_sort(self, spark):
-        """value_deciles_by_type must NOT contain a window/ntile — the
-        per-type total sort funnels the corpus through one reducer per
-        event type at scale. The scalable form is percentile cut-points
-        (hash-agg) + comparison binning."""
+        """value_deciles_by_type must NOT ntile over the raw corpus —
+        that funnels every row through one reducer per event type. The
+        scalable form compacts to DISTINCT (type, value) counts first
+        (hash-agg, map-side combined), ranks only the distinct values,
+        and assigns buckets via a broadcast of the 9 cut-points."""
         import __spark_entry__ as entry
 
         df = entry.queries()["value_deciles_by_type"](spark, SF_DIR)
         plan = _plan(df)
-        assert "Window" not in plan, plan
         assert "ntile(10)" not in plan, plan
-        # the cut-point aggregate is present (percentile hash-agg)
-        assert "percentile" in plan, plan
+        # distinct-value compaction feeds the rank window: a
+        # HashAggregate keyed on (event_type, value) appears below it
+        assert "Window" in plan, plan
+        agg_keys = [
+            ln for ln in plan.splitlines()
+            if "HashAggregate" in ln and "event_type" in ln
+            and "value" in ln and "keys=[" in ln
+        ]
+        assert agg_keys, plan
+        # cut-points come back via broadcast, not a shuffled join
+        assert "BroadcastHashJoin" in plan, plan
 
     def test_funnel_single_user_exchange_no_window(self, spark):
         """conversion_funnel_events: one hash exchange on user_id (plus
