@@ -4,12 +4,54 @@
 order-insensitive values (columns sorted by name, rows sorted).
 
 Usage: python scripts/check_oracles.py [sf_dir] [only_query_substr]
+       python scripts/check_oracles.py --strict [sf_dir] [substr]
+
+``--strict`` is driver-strength: no float rounding (bit-exact repr),
+ints stay ints (the default mode's int→float widening masked the
+HUGEINT hash failures of rounds 3/4), rows compared IN ORDER when the
+Spark plan's result is globally sorted, and a per-column dtype echo
+for every query so type drift is visible even on green rows.
 """
 
 from __future__ import annotations
 
 import math
 import sys
+
+
+def _is_globally_sorted(sdf) -> bool:
+    """True when the query's OUTPUT order is deterministic — a global
+    Sort at (or directly under projections at) the top of the
+    optimized plan."""
+    plan = sdf._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        s = line.lstrip("+-: ")
+        if s.startswith("Sort ") and ", true" in s.split("]")[-1]:
+            return True
+        # projections preserve child order; anything else may not
+        if not (s.startswith("Project ") or s.startswith("Sort ")):
+            return False
+    return False
+
+
+def strict_cell(v):
+    """Driver-strength normalization: identity, except bit-exact float
+    repr (NaN sentinel) so 1-ulp cross-engine drift is VISIBLE."""
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v.hex()
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return ("DECIMAL", str(v))  # lint forbids these; make loud
+    return v
+
+
+def strict_rows(cols, rows, ordered):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(strict_cell(r[i]) for i in order) for r in rows]
+    if not ordered:
+        out = sorted(out, key=lambda t: tuple(str(x) for x in t))
+    return sorted(cols), out
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -45,8 +87,10 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else ""
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    only = argv[1] if len(argv) > 1 else ""
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -98,8 +142,20 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        sc, sr = norm_rows(scols, [tuple(r) for r in srows])
-        oc, orw = norm_rows(ocols, orows)
+        if strict:
+            ordered = _is_globally_sorted(sdf)
+            print(
+                f"TYPES {name}: ordered={ordered} "
+                f"spark={sdf.dtypes} duckdb="
+                f"{[(d[0], str(d[1])) for d in res.description]}"
+            )
+            sc, sr = strict_rows(
+                scols, [tuple(r) for r in srows], ordered
+            )
+            oc, orw = strict_rows(ocols, orows, ordered)
+        else:
+            sc, sr = norm_rows(scols, [tuple(r) for r in srows])
+            oc, orw = norm_rows(ocols, orows)
         if sc != oc:
             print(f"FAIL  {name}: columns {sc} != {oc}")
             n_fail += 1
