@@ -1000,9 +1000,12 @@ def _q_contamination_src0(spark, sf_dir):
     The hot-gram cap (max_gram_group=100) is wired here on purpose: one
     boilerplate 8-gram shared by millions of docs makes the equi-join
     quadratic in that group at 100× scale, so grams occurring >100
-    times across both sides are dropped explicitly (logged count) —
-    the same blowup mitigation as shared_passages. The oracle applies
-    the identical cap."""
+    times across both sides are dropped explicitly — in-plan via a
+    window count riding the single gram exchange (the shared_passages
+    pattern; r4 VERDICT #5 one-exchange shape). The oracle applies the
+    identical cap over the identical universe (non-NULL sources);
+    log_dropped stays off here because the telemetry job would re-scan
+    both gram sets purely for a counter."""
     from schematic_spark.functions import ngram_contamination
 
     docs = _read(spark, sf_dir, "documents")
@@ -1011,7 +1014,6 @@ def _q_contamination_src0(spark, sf_dir):
         docs.where(F.col("source") == "src0"),
         n=8,
         max_gram_group=100,
-        log_dropped=True,
     )
     return pairs.groupBy("corpus_id").agg(
         F.count(F.lit(1)).alias("n_bench_docs"),
@@ -2781,10 +2783,14 @@ def oracle_sql() -> dict[str, str]:
             array_to_string(t[i:i+7], ' ')
             for i in generate_series(1, greatest(len(t) - 7, 0))]))
             AS gram
-          FROM nrm),
+          FROM nrm
+          -- cap-universe mirror: the engine counts over corpus∪bench
+          -- AS PASSED (source <> 'src0' plus source = 'src0', both
+          -- excluding NULL source) — filter before the window count
+          WHERE source IS NOT NULL),
         kept AS (
           -- hot-gram cap mirror: total occurrences across BOTH sides
-          -- (g covers every document row) must be <= 100
+          -- must be <= 100
           SELECT doc_id, source, gram FROM g
           QUALIFY count(*) OVER (PARTITION BY gram) <= 100),
         hits AS (

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -854,58 +854,98 @@ def ngram_contamination(
 
     Scale shape: both sides reduce to (distinct-gram, id) rows — the
     token arrays are materialized as columns before the gram HOF (the
-    repo's CSE rule) — and meet in ONE equi-join on the gram string;
-    shuffle volume is linear in total distinct grams. Boilerplate grams
-    (present in a huge share of docs) create hot join keys: pass
-    ``max_gram_group`` to drop grams whose total occurrence count
-    exceeds it (the winnowing cap pattern); the drop is explicit in the
-    plan, never silent — leave it None to keep exact recall.
-    ``log_dropped=True`` additionally persists the hot-gram set and
-    logs how many grams the cap excluded (one tiny extra action over
-    the already-aggregated set; the persist keeps the gram-count scan
-    single-pass).
+    repo's CSE rule). With ``max_gram_group=None`` (exact recall) the
+    sides meet in ONE equi-join on the gram string; shuffle volume is
+    linear in total distinct grams, but one boilerplate gram shared by
+    millions of docs makes that join quadratic in its group.
+
+    Passing ``max_gram_group`` switches to the capped ONE-EXCHANGE
+    shape (the ``shared_passages`` pattern): both sides union with a
+    side tag, a window ``count(*) OVER (PARTITION BY gram)`` rides the
+    single gram-key exchange, rows of grams whose total occurrence
+    count across BOTH inputs (the cap universe is exactly the union of
+    the two DataFrames as passed — caller-side filters shape it)
+    exceeds the cap are dropped in place, and the surviving per-gram
+    id lists (≤ cap entries, so ≤ cap² pairs per gram by construction)
+    split by side and explode into (corpus, bench) pairs — no second
+    gram shuffle, no anti-joins. Hot-gram partitions before the filter
+    spill via the window sorter rather than OOM. The drop is explicit
+    in the plan, never silent — leave the cap None to keep exact
+    recall. ``log_dropped=True`` runs ONE EAGER telemetry job at
+    construction time (a gram-count aggregation over both inputs) and
+    logs how many distinct grams the cap excluded; leave it False in
+    anything hot.
     """
-    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+    def gram_rows(df: DataFrame, side: int) -> DataFrame:
         toks = df.select(
-            F.col(id_col).alias(out_id),
+            F.col(id_col).alias("id"),
             tokens_column(text_col).alias("_t"),
         )
         grams = F.when(
             F.size("_t") >= n, shingles_from_tokens(F.col("_t"), n)
         ).otherwise(F.array().cast("array<string>"))
-        return toks.select(out_id, F.explode(grams).alias("gram"))
+        return toks.select(
+            "id", F.explode(grams).alias("gram"),
+            F.lit(side).alias("_side"),
+        )
 
-    cg = gram_rows(corpus, "corpus_id")
-    bg = gram_rows(benchmark, "bench_id")
-    if max_gram_group is not None:
-        both = cg.select("gram").unionAll(bg.select("gram"))
-        hot = (
-            both.groupBy("gram")
+    cg = gram_rows(corpus, 0)
+    bg = gram_rows(benchmark, 1)
+
+    if max_gram_group is None:
+        return (
+            cg.select(F.col("id").alias("corpus_id"), "gram")
+            .join(bg.select(F.col("id").alias("bench_id"), "gram"), "gram")
+            .groupBy("corpus_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+
+    tagged = cg.unionAll(bg)
+    if log_dropped:
+        # telemetry-only eager action (stderr, not stdout — stdout
+        # carries the bench/driver JSON protocol); the hot plan below
+        # does not depend on it
+        import sys as _sys
+
+        n_hot = (
+            tagged.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_gram_group)
-            .select("gram")
+            .count()
         )
-        if log_dropped:
-            # telemetry costs one eager action at construction time;
-            # the persist makes it the ONLY evaluation of the gram agg
-            # (the cached tiny hot set feeds both anti-joins later).
-            # stderr, not stdout — stdout carries the bench/driver
-            # JSON protocol
-            import sys as _sys
-
-            hot = hot.persist()
-            n_hot = hot.count()
-            print(
-                f"ngram_contamination: max_gram_group={max_gram_group} "
-                f"dropped {n_hot} hot gram(s)",
-                file=_sys.stderr,
-            )
-        # no forced broadcast: the hot set scales with corpus
-        # boilerplate — AQE picks the strategy (CLAUDE.md rule)
-        cg = cg.join(hot, "gram", "left_anti")
-        bg = bg.join(hot, "gram", "left_anti")
+        print(
+            f"ngram_contamination: max_gram_group={max_gram_group} "
+            f"dropped {n_hot} hot gram(s)",
+            file=_sys.stderr,
+        )
+    # partition the window by (xxhash64(gram), gram), not gram alone:
+    # the window sorter compares 8-byte prefixes first, and natural-
+    # language grams share long prefixes ("the quick brown ...") so a
+    # string-keyed sort degrades to full record comparisons — the hash
+    # prefix is near-unique and cut the sf0.1 single-shot 2.06→1.58 s.
+    # Grouping still includes the gram string, so equality stays EXACT
+    # (hash collisions merge nothing).
+    tagged = tagged.withColumn("_h", F.xxhash64("gram"))
+    kept = tagged.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_h", "gram"))
+    ).where(F.col("_n") <= max_gram_group)
+    # struct-wrap before collect_list: NULL ids must survive (the
+    # generated docs plant NULL doc_ids; collect_list skips bare NULLs)
+    per_gram = kept.groupBy("_h", "gram").agg(  # reuses the window's exchange
+        F.collect_list(
+            F.when(F.col("_side") == 0, F.struct(F.col("id")))
+        ).alias("_cids"),
+        F.collect_list(
+            F.when(F.col("_side") == 1, F.struct(F.col("id")))
+        ).alias("_bids"),
+    )
     return (
-        cg.join(bg, "gram")
+        per_gram.select(F.explode("_cids").alias("_c"), "_bids")
+        .select(
+            F.col("_c.id").alias("corpus_id"),
+            F.explode("_bids").alias("_b"),
+        )
+        .select("corpus_id", F.col("_b.id").alias("bench_id"))
         .groupBy("corpus_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -424,6 +424,36 @@ class TestContamination:
         )
         assert ngram_contamination(corpus, bench, n=4).count() == 0
 
+    def test_capped_shape_matches_uncapped_and_keeps_null_ids(self, spark):
+        """The one-exchange capped path (r4 VERDICT #5) must agree with
+        the exact-join path when the cap binds nothing, and NULL doc_ids
+        must survive the per-gram list aggregation (collect_list skips
+        bare NULLs; the struct wrap is the guard)."""
+        from schematic_spark.functions import ngram_contamination
+
+        bench = spark.createDataFrame(
+            [("b1", "alpha beta gamma delta"), (None, "alpha beta gamma delta")],
+            "doc_id string, text string",
+        )
+        corpus = spark.createDataFrame(
+            [("c1", "pre alpha beta gamma delta post"),
+             (None, "alpha beta gamma delta tail")],
+            "doc_id string, text string",
+        )
+        exact = {
+            (r.corpus_id, r.bench_id): r.n_shared
+            for r in ngram_contamination(corpus, bench, n=4).collect()
+        }
+        capped = {
+            (r.corpus_id, r.bench_id): r.n_shared
+            for r in ngram_contamination(
+                corpus, bench, n=4, max_gram_group=1000
+            ).collect()
+        }
+        assert exact == capped
+        assert (None, "b1") in capped and ("c1", None) in capped
+        assert (None, None) in capped
+
 
 def test_components_last_round_fixed_point_does_not_raise(spark):
     """Round-3 review regression: a run whose final permitted round
