@@ -432,3 +432,99 @@ class TestJsonSchemaImport:
             ("opt", SOptional(SBoolean())),
         ))
         assert from_json_schema(to_json_schema_inner(s)) == s
+
+
+class TestDraft4IndependentValidator:
+    """The reference validates its draft-4 export with an INDEPENDENT
+    validator (hjsonschema) against conforming instances —
+    test/JsonSchemaSpec.hs:20-98. Mirror with jsonschema's
+    Draft4Validator: same four fixture schemas, the same instances the
+    reference feeds, plus generator-produced conforming rows and
+    non-conforming mutants (which hjsonschema's suite implies but never
+    spells out)."""
+
+    @staticmethod
+    def _validator(schema):
+        jsonschema = pytest.importorskip("jsonschema")
+        doc = to_json_schema(schema)
+        jsonschema.Draft4Validator.check_schema(doc)
+        return jsonschema.Draft4Validator(doc)
+
+    def test_validates_simple_schema(self):
+        # JsonSchemaSpec.hs:57-62 — exampleData {"foo":[13],"bar":"foo"}
+        v = self._validator(SCHEMA_EXAMPLE)
+        assert v.is_valid({"foo": [13], "bar": "foo"})
+        assert v.is_valid({"foo": [13]})          # bar optional
+        assert v.is_valid({"foo": [13], "bar": None})  # oneOf null arm
+        # mutants — each flips exactly one constraint
+        assert not v.is_valid({"foo": [9], "bar": "foo"})        # NGt 10
+        assert not v.is_valid({"foo": [13, 13], "bar": "foo"})   # AEq 1
+        assert not v.is_valid({"foo": [], "bar": "foo"})         # AEq 1
+        assert not v.is_valid({"foo": [13], "bar": "baz"})       # TEnum
+        assert not v.is_valid({"bar": "foo"})                    # required
+
+    def test_validates_schema_with_arrays(self):
+        # JsonSchemaSpec.hs:35-40,63-74
+        schema = SObject((
+            ("a1", SArray(SNumber(), (AGt(1),))),
+            ("a2", SArray(SNumber(), (AGe(1),))),
+            ("a3", SArray(SNumber(), (ALt(1),))),
+            ("a4", SArray(SNumber(), (ALe(1),))),
+        ))
+        v = self._validator(schema)
+        good = {"a1": [13, 13], "a2": [13], "a3": [], "a4": [13]}
+        assert v.is_valid(good)
+        assert not v.is_valid({**good, "a1": [13]})      # AGt 1
+        assert not v.is_valid({**good, "a2": []})        # AGe 1
+        assert not v.is_valid({**good, "a3": [13]})      # ALt 1
+        assert not v.is_valid({**good, "a4": [13, 13]})  # ALe 1
+
+    def test_validates_schema_with_numbers(self):
+        # JsonSchemaSpec.hs:42-47,75-86
+        schema = SObject((
+            ("n1", SNumber((NGt(1),))),
+            ("n2", SNumber((NGe(1),))),
+            ("n3", SNumber((NLt(1),))),
+            ("n4", SNumber((NLe(1),))),
+        ))
+        v = self._validator(schema)
+        good = {"n1": 1.1, "n2": 1, "n3": 0.9, "n4": 1.0}
+        assert v.is_valid(good)
+        assert not v.is_valid({**good, "n1": 1})    # NGt strict
+        assert not v.is_valid({**good, "n2": 0.9})  # NGe
+        assert not v.is_valid({**good, "n3": 1})    # NLt strict
+        assert not v.is_valid({**good, "n4": 1.1})  # NLe
+
+    def test_validates_schema_with_strings(self):
+        # JsonSchemaSpec.hs:49-54,87-98 — length constraints
+        schema = SObject((
+            ("t1", SText((TGt(1),))),
+            ("t2", SText((TGe(1),))),
+            ("t3", SText((TLt(1),))),
+            ("t4", SText((TLe(1),))),
+        ))
+        v = self._validator(schema)
+        good = {"t1": "11", "t2": "1", "t3": "", "t4": "1"}
+        assert v.is_valid(good)
+        assert not v.is_valid({**good, "t1": "1"})   # TGt 1
+        assert not v.is_valid({**good, "t2": ""})    # TGe 1
+        assert not v.is_valid({**good, "t3": "x"})   # TLt 1
+        assert not v.is_valid({**good, "t4": "22"})  # TLe 1
+
+    def test_generated_conforming_rows_pass_independent_validator(self):
+        """Close the loop generator → export → independent validator:
+        every series-generated row must satisfy the exported draft-4
+        document, and the engine's own verdict must agree."""
+        from schematic_spark.schema.series import conforming_rows
+
+        schema = SObject((
+            ("foo", SArray(SNumber((NGt(10), NLe(1000))), (AEq(1),))),
+            ("bar", SOptional(SText((TEnum(("foo", "bar")),)))),
+            ("name", SText((TGe(1), TLt(12)))),
+            ("flags", SArray(SBoolean(), (ALe(3),))),
+        ))
+        v = self._validator(schema)
+        for row in conforming_rows(schema, 40, seed=7):
+            errs = list(v.iter_errors(row))
+            assert errs == [], f"draft-4 rejects generated row {row}: {errs}"
+            assert parse_and_validate(schema, row).violations == []
