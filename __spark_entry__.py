@@ -1344,39 +1344,43 @@ def _q_checkpointed_validation_documents(spark, sf_dir):
         partition_passfail, run_validation_checkpointed,
     )
 
+    import shutil
+
     docs = _read(spark, sf_dir, "documents")
     fmt = ParquetDirFormat(tempfile.mkdtemp(prefix="ck_oracle_"))
     spec = _documents_spec()
-    first = run_validation_checkpointed(
-        spark, docs, spec, fmt,
-        key_col="doc_id", n_buckets=8, run_id="oracle-run",
-        input_snapshot="sf-docs", commit_every=3,
-    )
-    second = run_validation_checkpointed(
-        spark, docs, spec, fmt,
-        key_col="doc_id", n_buckets=8, run_id="oracle-run",
-        input_snapshot="sf-docs", commit_every=3,
-    )
-    pf = partition_passfail(spark, fmt)
-    summary = pf.agg(
-        F.count(F.lit(1)).alias("n_buckets_complete"),
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.sum("n_bad_rows").cast("long").alias("n_bad_rows"),
-        F.sum("n_violations").cast("long").alias("n_violations"),
-    ).select(
-        "*",
-        F.lit(len(first["processed_buckets"])).cast("int")
-        .alias("n_processed_first"),
-        F.lit(len(second["skipped_buckets"])).cast("int")
-        .alias("n_skipped_on_resume"),
-    )
-    # materialize the 1-row summary so the checkpoint tree can be
-    # deleted now — returning a lazy plan over the temp files would
-    # leak one violations dump per invocation
-    rows = summary.collect()
-    import shutil
-
-    shutil.rmtree(fmt.root, ignore_errors=True)
+    try:
+        first = run_validation_checkpointed(
+            spark, docs, spec, fmt,
+            key_col="doc_id", n_buckets=8, run_id="oracle-run",
+            input_snapshot="sf-docs", commit_every=3,
+        )
+        second = run_validation_checkpointed(
+            spark, docs, spec, fmt,
+            key_col="doc_id", n_buckets=8, run_id="oracle-run",
+            input_snapshot="sf-docs", commit_every=3,
+        )
+        pf = partition_passfail(spark, fmt)
+        summary = pf.agg(
+            F.count(F.lit(1)).alias("n_buckets_complete"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_bad_rows").cast("long").alias("n_bad_rows"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        ).select(
+            "*",
+            F.lit(len(first["processed_buckets"])).cast("int")
+            .alias("n_processed_first"),
+            F.lit(len(second["skipped_buckets"])).cast("int")
+            .alias("n_skipped_on_resume"),
+        )
+        # materialize the 1-row summary so the checkpoint tree can be
+        # deleted now — returning a lazy plan over the temp files would
+        # leak one violations dump per invocation
+        rows = summary.collect()
+    finally:
+        # always reap the temp tree — a failed run/collect must not
+        # accumulate violations dumps across repeated invocations
+        shutil.rmtree(fmt.root, ignore_errors=True)
     return spark.createDataFrame(rows, summary.schema)
 
 
@@ -3025,9 +3029,15 @@ def oracle_sql() -> dict[str, str]:
 
     out["props_key_stats_events"] = """
         WITH j AS (
+          -- json_valid guard: DuckDB evaluates vectorized branches
+          -- eagerly and json_extract_string RAISES on malformed JSON,
+          -- while Spark's get_json_object returns NULL — without the
+          -- CASE a future corrupt-props row would crash the oracle
+          -- instead of mismatching (CLAUDE.md eager-branch rule)
           SELECT event_type,
-                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                   AS k
+                 TRY_CAST(CASE WHEN json_valid(props)
+                          THEN json_extract_string(props, '$.k') END
+                   AS BIGINT) AS k
           FROM events)
         SELECT event_type,
                CAST(count(k) AS BIGINT) AS n,

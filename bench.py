@@ -107,9 +107,27 @@ def full_suite(spark, n_docs: int) -> dict:
     shard = os.environ.get("BENCH_FILE_SHARD")
     if shard:
         import glob as _glob
-        i, k = (int(x) for x in shard.split("/"))
+        try:
+            i, k = (int(x) for x in shard.split("/"))
+        except ValueError:
+            raise SystemExit(
+                f"BENCH_FILE_SHARD={shard!r}: expected 'i/k' with two "
+                f"integers, e.g. 0/4"
+            ) from None
+        if not (k > 0 and 0 <= i < k):
+            raise SystemExit(
+                f"BENCH_FILE_SHARD={shard!r}: expected 0-indexed 'i/k' "
+                f"with 0 <= i < k (e.g. the 4 shards of k=4 are 0/4 "
+                f"1/4 2/4 3/4)"
+            )
         dfiles = sorted(_glob.glob(f"{tmp}/docs/part-*"))[i::k]
         bfiles = sorted(_glob.glob(f"{tmp}/docs_base/part-*"))[i::k]
+        if not dfiles or not bfiles:
+            raise SystemExit(
+                f"BENCH_FILE_SHARD={shard!r}: slice {i}::{k} selected "
+                f"no files ({len(dfiles)} docs / {len(bfiles)} base) — "
+                f"fewer input part-files than shards?"
+            )
         docs = spark.read.parquet(*dfiles)
         base_docs = spark.read.parquet(*bfiles)
     else:
