@@ -262,11 +262,11 @@ def expected_doc(i: int, cfg: GeneratorConfig) -> dict:
 # Span-order + span-sequence operators (engine-level; SURVEY §2.9)
 # ---------------------------------------------------------------------------
 
-def non_monotonic_docs(df: DataFrame) -> DataFrame:
-    """Docs whose span offsets are not strictly increasing. Array-local
+def non_monotonic_flag(spans_col: str = "spans"):
+    """Boolean column: span offsets not strictly increasing. Array-local
     (zip_with over the row's own array) — NO shuffle, unlike the naive
-    posexplode + window formulation."""
-    spans = F.col("spans")
+    posexplode + window formulation. Null/empty arrays flag False."""
+    spans = F.col(spans_col)
     shifted = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
     bad = F.exists(
         F.zip_with(
@@ -276,7 +276,12 @@ def non_monotonic_docs(df: DataFrame) -> DataFrame:
         ),
         lambda x: x,
     )
-    return df.where(F.coalesce(bad, F.lit(False)))
+    return F.coalesce(bad, F.lit(False))
+
+
+def non_monotonic_docs(df: DataFrame) -> DataFrame:
+    """Docs whose span offsets are not strictly increasing."""
+    return df.where(non_monotonic_flag())
 
 
 def exploded_spans(df: DataFrame) -> DataFrame:

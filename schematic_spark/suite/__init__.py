@@ -13,6 +13,7 @@ from .drift import (  # noqa: F401
     psi_drift_split,
     psi_from_counts,
 )
+from .fused import FusedSuiteReport, run_fused_suite  # noqa: F401
 from .referential import dangling_rows, referential_report  # noqa: F401
 from .sessions import funnel_stages, session_stats, sessionize  # noqa: F401
 from .stats import column_stats, length_histogram  # noqa: F401

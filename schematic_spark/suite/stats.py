@@ -33,13 +33,11 @@ def _sql_ident(s: str) -> str:
     return s.replace("`", "``")
 
 
-def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Long-format stats table: one row per column with
-    (column, n_rows, n_null, null_rate, n_distinct_approx, min, max, avg,
-    avg_length). min/max/avg are strings for heterogeneous columns.
-    """
-    fields = {f.name: f.dataType for f in df.schema.fields}
-    columns = columns or list(fields)
+def column_stat_aggs(fields: dict, columns: list[str]) -> list:
+    """The aggregate-expression list behind :func:`column_stats`,
+    exposed so the fused suite can ride the identical expressions on
+    another job's scan via ``observe`` (CollectMetrics) — semantics
+    stay defined in exactly one place."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         dt = fields[c]
@@ -76,7 +74,40 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
             aggs.append(F.lit(None).cast("string").alias(f"{c}__avg"))
             aggs.append(F.lit(None).cast("double").alias(f"{c}__avglen"))
-    wide = df.agg(*aggs)
+    return aggs
+
+
+def column_stats_from_flat(flat: dict, columns: list[str]) -> list[dict]:
+    """Reshape the wide (alias → value) metric map produced by
+    :func:`column_stat_aggs` — e.g. an ``Observation`` result — into
+    the same long-format rows :func:`column_stats` returns."""
+    n_rows = flat["n_rows"]
+    return [
+        {
+            "column": c,
+            "n_rows": n_rows,
+            "n_null": flat[f"{c}__nnull"],
+            "null_rate": (
+                flat[f"{c}__nnull"] / n_rows if n_rows else None
+            ),
+            "n_distinct_approx": flat[f"{c}__ndist"],
+            "min": flat[f"{c}__min"],
+            "max": flat[f"{c}__max"],
+            "avg": flat[f"{c}__avg"],
+            "avg_length": flat[f"{c}__avglen"],
+        }
+        for c in columns
+    ]
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-format stats table: one row per column with
+    (column, n_rows, n_null, null_rate, n_distinct_approx, min, max, avg,
+    avg_length). min/max/avg are strings for heterogeneous columns.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = columns or list(fields)
+    wide = df.agg(*column_stat_aggs(fields, columns))
     # one wide row → long format on the driver side of the agg (cheap:
     # stack() over a single row, no extra scan)
     stack_args = []
