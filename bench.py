@@ -11,6 +11,9 @@ Env:
   SPARK_GRAFT_CPUS     local[N] (default 32)
   BENCH_N_DOCS         interleaved docs for the suite (default 300000)
   BENCH_QUERIES        comma list / empty = all / 'none'
+  BENCH_SUITE          'fused' (default: 3 scans via observe) or
+                       'classic' (one job per check — the r1-r4 shape,
+                       kept for cross-round phase comparability)
 """
 
 from __future__ import annotations
@@ -52,30 +55,17 @@ def build_spark(cpus: int):
     )
 
 
-def full_suite(spark, n_docs: int) -> dict:
-    """The north-rule workload: generate → validate → stats → uniqueness
-    (salted) → referential → drift. Returns timings + counts."""
-    from pyspark.sql import functions as F
+def _materialize_inputs(spark, n_docs: int):
+    """Write (or reuse) the synthetic interleaved tables and read them
+    back, honoring BENCH_DATA_DIR and BENCH_FILE_SHARD. Returns
+    (docs, base_docs, media, t_gen, tmp, keep, sharded)."""
+    import tempfile
 
     from schematic_spark.generator import (
         GeneratorConfig,
-        INTERLEAVED_SPEC,
-        exploded_spans,
         interleaved_documents,
         media_dim,
-        non_monotonic_docs,
     )
-    from schematic_spark.suite import (
-        chi2_drift,
-        column_stats,
-        dangling_rows,
-        duplicate_keys_salted,
-        ks_drift,
-    )
-    from schematic_spark.validation import validate
-
-    import shutil
-    import tempfile
 
     cfg = GeneratorConfig(n_docs=n_docs, seed=42, n_media=10_000)
     cfg_base = GeneratorConfig(n_docs=n_docs, seed=7, n_media=10_000)
@@ -99,7 +89,6 @@ def full_suite(spark, n_docs: int) -> dict:
             .write.mode("overwrite").parquet(f"{tmp}/media")
     t_gen = time.time() - t_gen0
 
-    t0 = time.time()
     # BENCH_FILE_SHARD="i/k": process only the i-th of k slices of the
     # input files — the multi-JVM executor-scaling experiment runs k
     # concurrent JVMs, each on a disjoint slice (emulating k executors
@@ -134,6 +123,34 @@ def full_suite(spark, n_docs: int) -> dict:
         docs = spark.read.parquet(f"{tmp}/docs")
         base_docs = spark.read.parquet(f"{tmp}/docs_base")
     media = spark.read.parquet(f"{tmp}/media")
+    return docs, base_docs, media, t_gen, tmp, keep, bool(shard)
+
+
+def full_suite(spark, n_docs: int) -> dict:
+    """The north-rule workload, one job per check (the r1-r4 shape):
+    generate → validate → stats → uniqueness (salted) → referential →
+    drift → span order. Returns timings + counts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from schematic_spark.generator import (
+        INTERLEAVED_SPEC,
+        exploded_spans,
+        non_monotonic_docs,
+    )
+    from schematic_spark.suite import (
+        chi2_drift,
+        column_stats,
+        dangling_rows,
+        duplicate_keys_salted,
+        ks_drift,
+    )
+    from schematic_spark.validation import validate
+
+    docs, base_docs, media, t_gen, tmp, keep, sharded = \
+        _materialize_inputs(spark, n_docs)
+    t0 = time.time()
 
     # 1. row-local validation (one projection) + per-verdict counts
     res = validate(docs, INTERLEAVED_SPEC)
@@ -178,7 +195,7 @@ def full_suite(spark, n_docs: int) -> dict:
     total = time.time() - t0
     if not keep:
         shutil.rmtree(tmp, ignore_errors=True)
-    if shard:
+    if sharded:
         # a slice processed fewer docs than the nominal n_docs —
         # throughput must use the actual validated row count
         n_docs = sum(verdicts.values())
@@ -204,16 +221,61 @@ def full_suite(spark, n_docs: int) -> dict:
     }
 
 
+def full_suite_fused(spark, n_docs: int) -> dict:
+    """Same checks as :func:`full_suite`, three scans instead of six —
+    global metrics ride shared scans via CollectMetrics
+    (schematic_spark/suite/fused.py; equality with the classic phases is
+    test-pinned in tests/test_fused_suite.py)."""
+    import shutil
+
+    from schematic_spark.generator import INTERLEAVED_SPEC
+    from schematic_spark.suite import run_fused_suite
+
+    docs, base_docs, media, t_gen, tmp, keep, sharded = \
+        _materialize_inputs(spark, n_docs)
+    t0 = time.time()
+    rep = run_fused_suite(
+        docs, base_docs, media, INTERLEAVED_SPEC,
+        kind_values=("text", "media", "bogus"),
+        ks_lo=0, ks_hi=16, ks_buckets=16, salt_buckets=64,
+    )
+    total = time.time() - t0
+    if not keep:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if sharded:
+        n_docs = rep.n_docs
+    return {
+        "n_docs": n_docs,
+        "total_sec": total,
+        "gen_sec": t_gen,
+        "docs_per_sec": n_docs / total,
+        "phases": dict(rep.timings),
+        "verdicts": rep.verdicts,
+        "n_dup_keys": rep.n_dup_keys,
+        "n_dangling": rep.n_dangling,
+        "n_out_of_order": rep.n_non_monotonic,
+        "ks_stat": rep.ks.statistic,
+        "chi2_stat": rep.chi2.statistic,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_N_DOCS", "300000"))
     which = os.environ.get("BENCH_QUERIES", "")
 
+    suite_mode = os.environ.get("BENCH_SUITE", "fused")
+    if suite_mode not in ("fused", "classic"):
+        raise SystemExit(
+            f"BENCH_SUITE={suite_mode!r}: expected 'fused' or 'classic'"
+        )
+
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    suite = full_suite(spark, n_docs)
+    runner = full_suite_fused if suite_mode == "fused" else full_suite
+    suite = runner(spark, n_docs)
 
     import __spark_entry__ as entry
 
@@ -262,6 +324,7 @@ def main():
         "suite": {
             k: round(v, 3) for k, v in suite["phases"].items()
         },
+        "suite_mode": suite_mode,
         "suite_n_docs": suite["n_docs"],
         "queries": qtimes,
         "minhash_lsh": minhash_stats,
@@ -288,7 +351,8 @@ def main():
         "value": out["value"],
         "unit": out["unit"],
         "docs_per_sec": out["docs_per_sec"],
-        "suite": out["suite"],  # 6 phase timings — bench_scaling reads these
+        "suite": out["suite"],  # phase timings — bench_scaling reads these
+        "suite_mode": suite_mode,
         "suite_n_docs": out["suite_n_docs"],
         "queries": {
             k: qtimes[k]
