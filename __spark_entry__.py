@@ -1290,6 +1290,147 @@ def _q_tpch_q6_forecast(spark, sf_dir):
     )
 
 
+def _q_tpch_q4_late_orders(spark, sf_dir):
+    """TPC-H Q4-style order-priority check, adapted to this schema
+    (no l_commitdate/l_receiptdate): orders placed in 1997-Q1 counted
+    per priority when ANY lineitem shipped >30 days after the order
+    date. The EXISTS becomes a LEFT SEMI join whose residual inequality
+    (l_shipdate > o_orderdate + 30d) rides the l_orderkey equi-key —
+    one keyed shuffle, no row explosion, the semi short-circuits per
+    matching order. All timestamps are naive (TIMESTAMP_NTZ) on both
+    engines, so the +30d arithmetic is calendar-exact."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           > orders["o_orderdate"] + F.expr("INTERVAL '30' DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q5_local_volume(spark, sf_dir):
+    """TPC-H Q5-style local-supplier volume: the 6-way join shape
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
+    the same-nation residual c_nationkey = s_nationkey. Scale shape:
+    the one big-big join (lineitem ⋈ orders) shuffles on the order key;
+    every dim after it is AQE-broadcastable (region/nation are tiny by
+    schema, filtered supplier/customer by statistics — no forced
+    broadcast per the repo rule since they scale with SF). Money stays
+    DECIMAL-exact through the agg; the final sort key is the exact
+    decimal, not the rounded double."""
+    region = _read(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    nation = _read(spark, sf_dir, "nation").join(
+        region, F.col("n_regionkey") == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    supplier = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(8,4)")
+           - F.col("l_discount").cast("decimal(8,4)"))
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            supplier,
+            (li["l_suppkey"] == supplier["s_suppkey"])
+            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+    )
+    g = j.groupBy("n_name").agg(F.sum(rev).alias("_rev"))
+    return g.orderBy(F.col("_rev").desc(), F.col("n_name")).select(
+        "n_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+    )
+
+
+def _q_tpch_q12_priority_class(spark, sf_dir):
+    """TPC-H Q12-style shipping-priority breakdown, adapted (no
+    l_shipmode column): lineitems shipped in 1997 grouped by
+    l_linestatus, counting critical (1-URGENT/2-HIGH) vs other order
+    priorities. The canonical conditional-aggregate join: one keyed
+    shuffle for the join, CASE sums fold map-side."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(crit.cast("long")).alias("high_line_count"),
+            F.sum((~crit).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def _q_tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14-style promotion-revenue share: lineitem ⋈ part over
+    one ship-month, 100 * promo revenue / total revenue. Both sums are
+    exact DECIMAL over the same pass (single agg, no second scan); the
+    ratio alone drops to double at the end. The part dim scales with SF
+    so no forced broadcast — AQE decides."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(8,4)")
+           - F.col("l_discount").cast("decimal(8,4)"))
+    )
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    g = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0).cast("decimal(18,4)"))
+        ).alias("_promo"),
+        F.sum(rev).alias("_total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.col("_total").cast("decimal(38,4)").cast("string")
+        .alias("total_revenue"),
+        "n_lines",
+    )
+
+
 def _q_conversion_funnel_events(spark, sf_dir):
     """Ordered-sequence conversion funnel (suite/sessions.funnel_stages):
     per user, how far through view → click → purchase the user got,
@@ -1543,6 +1684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_deciles_by_type": _q_value_deciles_by_type,
         "user_event_type_pivot": _q_user_event_type_pivot,
         "weighted_mix_documents": _q_weighted_mix_documents,
+        # -- new this round (r5)
+        "tpch_q4_late_orders": _q_tpch_q4_late_orders,
+        "tpch_q5_local_volume": _q_tpch_q5_local_volume,
+        "tpch_q12_priority_class": _q_tpch_q12_priority_class,
+        "tpch_q14_promo_share": _q_tpch_q14_promo_share,
         # -- most intricate previously-green queries
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "shared_passages_documents": _q_shared_passages_documents,
@@ -2986,6 +3132,80 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """
+
+    out["tpch_q4_late_orders"] = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority NULLS FIRST
+    """
+
+    out["tpch_q5_local_volume"] = """
+        WITH g AS (
+          SELECT n.n_name,
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(8,4))
+                        - CAST(l.l_discount AS DECIMAL(8,4)))) AS rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                         AND c.c_nationkey = s.s_nationkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+            AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY n.n_name)
+        SELECT n_name, round(CAST(rev AS DOUBLE), 2) AS revenue
+        FROM g ORDER BY rev DESC, n_name NULLS FIRST
+    """
+
+    out["tpch_q12_priority_class"] = """
+        SELECT l.l_linestatus,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                    AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus NULLS FIRST
+    """
+
+    out["tpch_q14_promo_share"] = """
+        WITH g AS (
+          SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(8,4))
+                             - CAST(l.l_discount AS DECIMAL(8,4)))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(8,4))
+                        - CAST(l.l_discount AS DECIMAL(8,4)))) AS total,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+            AND l.l_shipdate < TIMESTAMP '1997-10-01')
+        SELECT round(100.0 * CAST(promo AS DOUBLE)
+                     / CAST(total AS DOUBLE), 6) AS promo_revenue_pct,
+               CAST(CAST(total AS DECIMAL(38,4)) AS VARCHAR)
+                 AS total_revenue,
+               n_lines
+        FROM g
     """
 
     # funnel: min view ts, then min click strictly after it, then min
