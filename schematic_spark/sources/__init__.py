@@ -1,3 +1,8 @@
+from .bucketed import (  # noqa: F401
+    bucketed_join,
+    read_bucketed,
+    write_bucketed,
+)
 from .json_ingest import MALFORMED, validate_json_strings  # noqa: F401
 from .layout import clustered_write, file_key_ranges  # noqa: F401
 from .checkpoint import (  # noqa: F401

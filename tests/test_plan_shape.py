@@ -450,3 +450,97 @@ class TestValidRowsPlan:
         vr = res.valid_rows()
         assert vr.count() == n_valid
         assert "_verdict" not in vr.columns
+
+
+class TestBucketedJoin:
+    """sources/bucketed.py plan contract: co-bucketed tables join with
+    zero Exchange and zero Sort (the write-time layout IS the shuffle);
+    the identical join over plain parquet needs two Exchanges."""
+
+    @pytest.fixture()
+    def bucketed_tables(self, spark, tmp_path):
+        from schematic_spark.sources.bucketed import write_bucketed
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "okey"), "b_lineitem",
+            "okey", 8, path=str(tmp_path / "b_lineitem"),
+        )
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "okey"), "b_orders",
+            "okey", 8, path=str(tmp_path / "b_orders"),
+        )
+        yield "b_lineitem", "b_orders"
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+    def test_cobucketed_join_is_exchange_and_sort_free(
+        self, spark, bucketed_tables
+    ):
+        from schematic_spark.sources.bucketed import bucketed_join
+
+        left, right = bucketed_tables
+        # disable broadcast so the plan proves CO-LOCATION, not size
+        with _no_broadcast(spark):
+            plan = _plan(bucketed_join(spark, left, right, "okey"))
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        join_and_above = plan.split("SortMergeJoin")[0]
+        assert "Sort" not in join_and_above, plan
+
+    def test_plain_parquet_join_shuffles_both_sides(self, spark):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        with _no_broadcast(spark):
+            plan = _plan(
+                li.join(
+                    orders,
+                    li["l_orderkey"] == orders["o_orderkey"],
+                )
+            )
+        assert plan.count("Exchange") >= 2, plan
+
+    def test_cobucketed_join_values_match_plain(
+        self, spark, bucketed_tables
+    ):
+        from schematic_spark.sources.bucketed import bucketed_join
+
+        left, right = bucketed_tables
+        got = (
+            bucketed_join(spark, left, right, "okey")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity")
+                      * F.col("o_totalprice")).alias("s"),
+            )
+            .collect()[0]
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        exp = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity")
+                      * F.col("o_totalprice")).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert got["n"] == exp["n"]
+        assert got["s"] == pytest.approx(exp["s"], rel=1e-9)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
