@@ -1494,12 +1494,12 @@ def _q_checkpointed_validation_documents(spark, sf_dir):
         first = run_validation_checkpointed(
             spark, docs, spec, fmt,
             key_col="doc_id", n_buckets=8, run_id="oracle-run",
-            input_snapshot="sf-docs", commit_every=3,
+            input_snapshot="sf-docs", commit_every=4,
         )
         second = run_validation_checkpointed(
             spark, docs, spec, fmt,
             key_col="doc_id", n_buckets=8, run_id="oracle-run",
-            input_snapshot="sf-docs", commit_every=3,
+            input_snapshot="sf-docs", commit_every=4,
         )
         pf = partition_passfail(spark, fmt)
         summary = pf.agg(
