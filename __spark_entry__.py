@@ -152,6 +152,32 @@ def _q_dangling_lineitem_orders(spark, sf_dir):
     )
 
 
+def _q_dangling_lineitem_bloom(spark, sf_dir):
+    """The Bloom-prefiltered referential check end-to-end
+    (suite/referential.dangling_rows_bloom): same dangling set as
+    dangling_lineitem_orders but via the scale path for dims too big
+    to broadcast — a 10-bit/key Bloom bitmap broadcasts in place of
+    the key set, the fact is prefiltered map-side (no shuffle), and
+    only suspects reach the exact anti-join. The oracle is the plain
+    EXISTS-free anti-join: Bloom has no false negatives and the exact
+    join removes false positives, so results are bit-identical."""
+    from schematic_spark.suite import dangling_rows_bloom
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    dim = orders.where(F.col("o_orderkey") % 2 == 0)
+    # n_keys: known analytically (half the orders) — avoids the eager
+    # count the function would otherwise run
+    n_keys = max(int(orders.count()) // 2, 1)
+    return (
+        dangling_rows_bloom(
+            li, dim, {"l_orderkey": "o_orderkey"}, n_keys=n_keys
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def _q_orders_priority_stats(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -1689,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": _q_tpch_q5_local_volume,
         "tpch_q12_priority_class": _q_tpch_q12_priority_class,
         "tpch_q14_promo_share": _q_tpch_q14_promo_share,
+        "dangling_lineitem_bloom": _q_dangling_lineitem_bloom,
         # -- most intricate previously-green queries
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "shared_passages_documents": _q_shared_passages_documents,
@@ -1950,6 +1977,19 @@ def oracle_sql() -> dict[str, str]:
                AS ref_ok
         """,
         "dangling_lineitem_orders": """
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+                       WHERE o_orderkey % 2 = 0) o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+            GROUP BY l_orderkey
+        """,
+        # identical SQL to dangling_lineitem_orders ON PURPOSE: the
+        # Bloom prefilter is exact end-to-end (no false negatives;
+        # false positives die in the residual anti-join), so the
+        # engine's scale path must reproduce the plain path bit-for-bit
+        "dangling_lineitem_bloom": """
             SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem l
             LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders

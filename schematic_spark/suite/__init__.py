@@ -14,7 +14,12 @@ from .drift import (  # noqa: F401
     psi_from_counts,
 )
 from .fused import FusedSuiteReport, run_fused_suite  # noqa: F401
-from .referential import dangling_rows, referential_report  # noqa: F401
+from .referential import (  # noqa: F401
+    bloom_bitmap,
+    dangling_rows,
+    dangling_rows_bloom,
+    referential_report,
+)
 from .sessions import funnel_stages, session_stats, sessionize  # noqa: F401
 from .stats import column_stats, length_histogram  # noqa: F401
 from .uniqueness import (  # noqa: F401

@@ -52,6 +52,112 @@ def dangling_rows(
     return fact.where(non_null).join(dim_keys, cond, "left_anti")
 
 
+def bloom_bitmap(
+    dim: DataFrame,
+    key: str,
+    *,
+    m_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Distributed Bloom bitset over the dim's key column as a
+    (word_idx BIGINT, word BIGINT) relation: each key sets ``n_hashes``
+    bit positions ``pmod(xxhash64(key, i), m_bits)``; positions pack
+    into 64-bit words via a ``bit_or`` hash-agg. Size is O(m_bits/64)
+    rows regardless of dim row count — 10 bits/key packs ~80× smaller
+    than broadcasting the key set itself."""
+    pos_rows = None
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        r = (
+            dim.where(F.col(key).isNotNull())
+            .select(p.alias("_pos"))
+            .select(
+                (F.col("_pos") / 64).cast("long").alias("word_idx"),
+                F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))")
+                .alias("bit"),
+            )
+        )
+        pos_rows = r if pos_rows is None else pos_rows.unionAll(r)
+    return pos_rows.groupBy("word_idx").agg(
+        F.expr("bit_or(bit)").alias("word")
+    )
+
+
+def dangling_rows_bloom(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str] | str,
+    *,
+    n_keys: int | None = None,
+    bits_per_key: int = 10,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """:func:`dangling_rows` for dims too big to broadcast as a hash
+    relation: a Bloom prefilter drops the (overwhelming) matched
+    majority of the fact WITHOUT shuffling it, then the exact LEFT ANTI
+    join runs over only the suspected-dangling rows.
+
+    Plan shape: the bitmap relation (O(bits_per_key × n_keys / 64)
+    rows ≈ 10 bits per dim key) broadcasts; each of the ``n_hashes``
+    bit tests is a map-side BroadcastHashJoin on the word index — the
+    100-TB fact side never shuffles during prefiltering. Rows passing
+    all bit tests (true dangling + ~0.8% false positives at the
+    defaults) continue to the exact anti-join, so only ε of the fact
+    reaches that exchange while the result stays EXACT (Bloom filters
+    have no false negatives; the anti-join removes the false
+    positives). Mirrors Spark's own runtime-filter rewrite
+    (InjectRuntimeFilter), expressed with public primitives so the
+    threshold and sizing stay under caller control.
+
+    ``n_keys`` sizes the filter; when omitted an eager ``dim.count()``
+    runs at construction time (pass the known cardinality in anything
+    hot). Composite keys are not supported — prefilter on the highest-
+    cardinality column and let the exact join enforce the rest."""
+    if isinstance(on, str):
+        on = {on: on}
+    if len(on) != 1:
+        raise ValueError(
+            "dangling_rows_bloom prefilters on exactly one key column; "
+            f"got {sorted(on)} — prefilter on one and verify the rest "
+            "in dangling_rows"
+        )
+    (fk, dk), = on.items()
+    if n_keys is None:
+        n_keys = dim.where(F.col(dk).isNotNull()).count()
+    # ≥64 bits so tiny/empty dims still build a valid 1-word bitmap
+    m_bits = max(64, bits_per_key * n_keys)
+    bitmap = bloom_bitmap(dim, dk, m_bits=m_bits, n_hashes=n_hashes)
+
+    suspects = fact.where(F.col(fk).isNotNull())
+    tests = []
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(F.col(fk), F.lit(i)), F.lit(m_bits))
+        w = (p / 64).cast("long")
+        b = (p % 64).cast("int")
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("word_idx").alias(f"_w{i}"),
+                F.col("word").alias(f"_word{i}"),
+            )
+        )
+        suspects = suspects.withColumns(
+            {f"_w{i}": w, f"_b{i}": b}
+        ).join(bm, f"_w{i}", "left")
+        tests.append(
+            F.expr(f"(shiftright(coalesce(_word{i}, 0L), _b{i}) & 1) = 1")
+        )
+    # a row whose bits are ALL set might be in the dim (candidate);
+    # any clear bit proves it is dangling — no join needed for those
+    all_set = tests[0]
+    for t in tests[1:]:
+        all_set = all_set & t
+    cols = [c for c in fact.columns]
+    proven = suspects.where(~all_set).select(*cols)
+    candidates = suspects.where(all_set).select(*cols)
+    fp_checked = dangling_rows(candidates, dim, on, broadcast=False)
+    return proven.unionAll(fp_checked)
+
+
 def referential_report(
     fact: DataFrame,
     dim: DataFrame,

@@ -148,6 +148,79 @@ class TestReferential:
         assert r["n_null_fk"] == 1 and r["n_dangling"] == 0
 
 
+class TestBloomReferential:
+    """dangling_rows_bloom must return the EXACT dangling set (Bloom
+    has no false negatives; the anti-join removes false positives) with
+    a plan that never shuffles the fact during prefiltering."""
+
+    def test_matches_exact_path(self, spark, docs, media):
+        from schematic_spark.suite import dangling_rows_bloom
+
+        spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
+        exact = {
+            r["media_ref"]
+            for r in dangling_rows(
+                spans, media, "media_ref", broadcast=True
+            ).collect()
+        }
+        got = dangling_rows_bloom(
+            spans, media, "media_ref", n_keys=CFG.n_media
+        ).collect()
+        assert {r["media_ref"] for r in got} == exact
+        # row multiplicity preserved too
+        assert len(got) == dangling_rows(
+            spans, media, "media_ref", broadcast=True
+        ).count()
+
+    def test_tiny_filter_forces_false_positives_still_exact(
+        self, spark, docs, media
+    ):
+        from schematic_spark.suite import dangling_rows_bloom
+
+        spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
+        n_exact = dangling_rows(
+            spans, media, "media_ref", broadcast=True
+        ).count()
+        # 1 bit/key, 1 hash: filter saturates, nearly everything becomes
+        # a candidate — the exact join must still clean it up
+        got = dangling_rows_bloom(
+            spans, media, "media_ref",
+            n_keys=CFG.n_media, bits_per_key=1, n_hashes=1,
+        ).count()
+        assert got == n_exact
+
+    def test_empty_dim_everything_dangles(self, spark, media):
+        from schematic_spark.suite import dangling_rows_bloom
+
+        empty = media.where(F.lit(False))
+        fact = media.select("media_ref").limit(7)
+        assert dangling_rows_bloom(
+            fact, empty, "media_ref", n_keys=0
+        ).count() == 7
+
+    def test_prefilter_is_broadcast_only(self, spark, docs, media):
+        from schematic_spark.suite import dangling_rows_bloom
+
+        spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
+        df = dangling_rows_bloom(
+            spans, media, "media_ref", n_keys=CFG.n_media, n_hashes=3
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        # the only exchanges allowed: bitmap build (dim-sized) + the
+        # final exact anti-join over suspects — never a fact-side
+        # repartition in the prefilter chain
+        assert "CartesianProduct" not in plan, plan
+
+    def test_composite_key_rejected(self, spark, media):
+        from schematic_spark.suite import dangling_rows_bloom
+
+        with pytest.raises(ValueError, match="exactly one key"):
+            dangling_rows_bloom(
+                media, media, {"media_ref": "media_ref", "kind": "kind"}
+            )
+
+
 def _ref_in_dim(ref: str) -> bool:
     from schematic_spark.generator import media_uuid_py
 
