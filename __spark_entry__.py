@@ -1408,7 +1408,11 @@ def _q_tpch_q12_priority_class(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # coalesce: a NULL priority must count as LOW (the oracle's CASE
+    # ELSE branch) — bare ~crit is NULL there and sum() would skip it
+    crit = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(False)
+    )
     j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
     return (
         j.groupBy("l_linestatus")
@@ -1682,12 +1686,15 @@ def _q_capped_docs_per_source(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate hashes
     # exactly the first 50 keys (CORRECTNESS_r03/r04 each covered keys
-    # 1-50 in dict order).  Slots 1-19 hold the queries with no driver
-    # evidence yet (round-4 additions + the HUGEINT-cured sessionized
-    # oracle); slots 20-50 the most intricate previously-green queries;
-    # the 18 simplest long-stable queries rotate out this round and
-    # back in next round so every query gets driver evidence within
-    # two rounds.
+    # 1-50 in dict order).  Slots 1-19 hold the r3/r4 queries with no
+    # driver evidence before this round; slots 20-24 the new round-5
+    # queries; slots 25-50 the most intricate previously-green queries.
+    # 23 long-stable queries rotate out this round (the original 18
+    # plus the 5 displaced by the round-5 additions: top_docs_per_lang,
+    # heavy_clickers_not_viewers, events_value_percentiles,
+    # chi2_drift_event_types, psi_drift_event_types) and MUST rotate
+    # back next round so every query gets driver evidence within two
+    # rounds.
     return {
         # -- never driver-checked (r3/r4 additions) + the cured red row
         "tpch_q1_pricing": _q_tpch_q1_pricing,

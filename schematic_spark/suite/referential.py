@@ -62,25 +62,113 @@ def bloom_bitmap(
     """Distributed Bloom bitset over the dim's key column as a
     (word_idx BIGINT, word BIGINT) relation: each key sets ``n_hashes``
     bit positions ``pmod(xxhash64(key, i), m_bits)``; positions pack
-    into 64-bit words via a ``bit_or`` hash-agg. Size is O(m_bits/64)
-    rows regardless of dim row count — 10 bits/key packs ~80× smaller
-    than broadcasting the key set itself."""
-    pos_rows = None
+    into 64-bit words via a ``bit_or`` hash-agg. ONE dim scan (the
+    positions explode from a per-row array). Size is O(m_bits/64) rows
+    regardless of dim row count — 10 bits/key packs ~80× smaller than
+    broadcasting the key set itself."""
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    return (
+        dim.where(F.col(key).isNotNull())
+        .select(F.explode(positions).alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def _require_same_key_type(fact, fk, dim, dk, caller):
+    """xxhash64 is TYPE-sensitive (INT 7 and BIGINT 7 hash differently)
+    while equi-joins compare through implicit casts — a dtype mismatch
+    would turn matched rows into false 'proven missing' verdicts, so
+    refuse loudly instead."""
+    ft = fact.schema[fk].dataType
+    dt = dim.schema[dk].dataType
+    if ft != dt:
+        raise ValueError(
+            f"{caller}: fact[{fk}] is {ft.simpleString()} but "
+            f"dim[{dk}] is {dt.simpleString()} — xxhash64 hashes these "
+            "differently even for equal values; cast both sides to one "
+            "type before calling"
+        )
+
+
+def _bloom_maybe_flag(
+    fact: DataFrame, fk: str, bitmap: DataFrame, m_bits: int, n_hashes: int
+):
+    """(df_with_probe_joins, flag_column): flag TRUE means every Bloom
+    bit for the row's key is set (key POSSIBLY in dim), FALSE proves
+    the key absent. Each probe is a map-side BroadcastHashJoin of the
+    bitmap on the word index — the fact side never shuffles."""
+    out = fact
+    tests = []
     for i in range(n_hashes):
-        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
-        r = (
-            dim.where(F.col(key).isNotNull())
-            .select(p.alias("_pos"))
-            .select(
-                (F.col("_pos") / 64).cast("long").alias("word_idx"),
-                F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))")
-                .alias("bit"),
+        p = F.pmod(F.xxhash64(F.col(fk), F.lit(i)), F.lit(m_bits))
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("word_idx").alias(f"_w{i}"),
+                F.col("word").alias(f"_word{i}"),
             )
         )
-        pos_rows = r if pos_rows is None else pos_rows.unionAll(r)
-    return pos_rows.groupBy("word_idx").agg(
-        F.expr("bit_or(bit)").alias("word")
-    )
+        out = out.withColumns(
+            {f"_w{i}": (p / 64).cast("long"), f"_b{i}": (p % 64).cast("int")}
+        ).join(bm, f"_w{i}", "left")
+        tests.append(
+            F.expr(f"(shiftright(coalesce(_word{i}, 0L), _b{i}) & 1) = 1")
+        )
+    flag = tests[0]
+    for t in tests[1:]:
+        flag = flag & t
+    return out, flag
+
+
+def bloom_semi_filter(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str] | str,
+    *,
+    n_keys: int | None = None,
+    bits_per_key: int = 10,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Pre-shuffle runtime filter for SELECTIVE equi-joins — the
+    primary Bloom use. When the dim side is filtered hard (the classic
+    star-schema shape: 1% of parts, one region, one day) but its key
+    set still won't broadcast as a hash relation, the Bloom bitmap of
+    the filtered keys DOES broadcast at ~10 bits/key, and dropping the
+    fact rows that cannot match BEFORE the exchange shrinks the shuffle
+    to the matching fraction (+ ~0.8% false positives at the defaults).
+    The exact join downstream removes the false positives, so results
+    are identical to joining the unfiltered fact. One fact scan, no
+    fact shuffle; this is Spark's InjectRuntimeFilter rewrite expressed
+    with public primitives, under caller control.
+
+    Returns the filtered fact (original columns). ``n_keys`` sizes the
+    filter; when omitted an eager ``dim.count()`` runs at construction
+    time — pass the known cardinality in anything hot."""
+    if isinstance(on, str):
+        on = {on: on}
+    if len(on) != 1:
+        raise ValueError(
+            "bloom_semi_filter prefilters on exactly one key column; "
+            f"got {sorted(on)} — prefilter on one and let the exact "
+            "join enforce the rest"
+        )
+    (fk, dk), = on.items()
+    _require_same_key_type(fact, fk, dim, dk, "bloom_semi_filter")
+    if n_keys is None:
+        n_keys = dim.where(F.col(dk).isNotNull()).count()
+    m_bits = max(64, bits_per_key * n_keys)
+    bitmap = bloom_bitmap(dim, dk, m_bits=m_bits, n_hashes=n_hashes)
+    probed, maybe = _bloom_maybe_flag(fact, fk, bitmap, m_bits, n_hashes)
+    return probed.where(maybe).select(*fact.columns)
 
 
 def dangling_rows_bloom(
@@ -92,27 +180,30 @@ def dangling_rows_bloom(
     bits_per_key: int = 10,
     n_hashes: int = 5,
 ) -> DataFrame:
-    """:func:`dangling_rows` for dims too big to broadcast as a hash
-    relation: a Bloom prefilter drops the (overwhelming) matched
-    majority of the fact WITHOUT shuffling it, then the exact LEFT ANTI
-    join runs over only the suspected-dangling rows.
+    """:func:`dangling_rows` with a Bloom prefilter, for dims too big
+    to broadcast. Any clear Bloom bit PROVES a key absent from the dim,
+    so proven-dangling rows are emitted map-side without touching the
+    exchange; only rows whose bits are all set (possibly-present) go
+    through the exact LEFT ANTI join. Results are bit-identical to
+    :func:`dangling_rows` — no false negatives, and false "possibly
+    present" verdicts die in the anti-join.
 
-    Plan shape: the bitmap relation (O(bits_per_key × n_keys / 64)
-    rows ≈ 10 bits per dim key) broadcasts; each of the ``n_hashes``
-    bit tests is a map-side BroadcastHashJoin on the word index — the
-    100-TB fact side never shuffles during prefiltering. Rows passing
-    all bit tests (true dangling + ~0.8% false positives at the
-    defaults) continue to the exact anti-join, so only ε of the fact
-    reaches that exchange while the result stays EXACT (Bloom filters
-    have no false negatives; the anti-join removes the false
-    positives). Mirrors Spark's own runtime-filter rewrite
-    (InjectRuntimeFilter), expressed with public primitives so the
-    threshold and sizing stay under caller control.
+    Honest cost model — when this wins and when it doesn't:
 
-    ``n_keys`` sizes the filter; when omitted an eager ``dim.count()``
-    runs at construction time (pass the known cardinality in anything
-    hot). Composite keys are not supported — prefilter on the highest-
-    cardinality column and let the exact join enforce the rest."""
+    * **Dirty inputs** (a meaningful dangling fraction — quarantine
+      triage, backfill reconciliation): every truly-dangling row skips
+      the shuffle; the exchange carries only the matched fraction.
+    * **Clean inputs** (dangling ≈ 0, the steady-state validation
+      case): almost every row's bits are all set, so the anti-join
+      still sees ~the whole fact — Bloom cannot CONFIRM membership,
+      only deny it. Use plain :func:`dangling_rows` there, or
+      :func:`bloom_semi_filter` when it's a selective join you want.
+
+    Plan note: the proven/candidate split evaluates the (cheap, pruned,
+    map-side) probe chain once per branch — two fact scans. That is
+    deliberate: a materialization barrier at 100 TB is infeasible and
+    the alternative single-scan shape shuffles the entire fact, which
+    is exactly what the split avoids on dirty data."""
     if isinstance(on, str):
         on = {on: on}
     if len(on) != 1:
@@ -122,38 +213,17 @@ def dangling_rows_bloom(
             "in dangling_rows"
         )
     (fk, dk), = on.items()
+    _require_same_key_type(fact, fk, dim, dk, "dangling_rows_bloom")
     if n_keys is None:
         n_keys = dim.where(F.col(dk).isNotNull()).count()
     # ≥64 bits so tiny/empty dims still build a valid 1-word bitmap
     m_bits = max(64, bits_per_key * n_keys)
     bitmap = bloom_bitmap(dim, dk, m_bits=m_bits, n_hashes=n_hashes)
-
     suspects = fact.where(F.col(fk).isNotNull())
-    tests = []
-    for i in range(n_hashes):
-        p = F.pmod(F.xxhash64(F.col(fk), F.lit(i)), F.lit(m_bits))
-        w = (p / 64).cast("long")
-        b = (p % 64).cast("int")
-        bm = F.broadcast(
-            bitmap.select(
-                F.col("word_idx").alias(f"_w{i}"),
-                F.col("word").alias(f"_word{i}"),
-            )
-        )
-        suspects = suspects.withColumns(
-            {f"_w{i}": w, f"_b{i}": b}
-        ).join(bm, f"_w{i}", "left")
-        tests.append(
-            F.expr(f"(shiftright(coalesce(_word{i}, 0L), _b{i}) & 1) = 1")
-        )
-    # a row whose bits are ALL set might be in the dim (candidate);
-    # any clear bit proves it is dangling — no join needed for those
-    all_set = tests[0]
-    for t in tests[1:]:
-        all_set = all_set & t
-    cols = [c for c in fact.columns]
-    proven = suspects.where(~all_set).select(*cols)
-    candidates = suspects.where(all_set).select(*cols)
+    probed, maybe = _bloom_maybe_flag(suspects, fk, bitmap, m_bits, n_hashes)
+    cols = list(fact.columns)
+    proven = probed.where(~maybe).select(*cols)
+    candidates = probed.where(maybe).select(*cols)
     fp_checked = dangling_rows(candidates, dim, on, broadcast=False)
     return proven.unionAll(fp_checked)
 
