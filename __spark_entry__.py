@@ -1461,6 +1461,149 @@ def _q_tpch_q14_promo_share(spark, sf_dir):
     )
 
 
+def _q_tpch_q13_order_counts(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution: the
+    LEFT OUTER join with a join-side filter (non-urgent orders only)
+    that must NOT drop order-less customers, then a double aggregation
+    (count per customer → distribution of counts). Scale shape: one
+    custkey shuffle for the join+first agg; the second agg's domain is
+    tiny (distinct order counts) so it collapses map-side. The filter
+    sits INSIDE the join (on the orders side) — pushing it below the
+    outer join is the Catalyst behavior the query exercises."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    j = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_outer"
+    )
+    per = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(
+            F.col("custdist").desc_nulls_last(),
+            F.col("c_count").desc_nulls_last(),
+        )
+    )
+
+
+def _q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style top supplier: revenue per supplier over one
+    quarter, keep the supplier(s) whose revenue EQUALS the global max —
+    the having-equals-scalar-aggregate shape (Q15's revenue view +
+    max() subquery). The max is a 1-row aggregate attached by
+    broadcast, so the equality filter costs no extra shuffle beyond
+    the per-supplier agg; revenue stays DECIMAL-exact so cross-engine
+    max/equality cannot drift (ties included). Rounds to double only
+    in the final projection."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(8,4)")
+           - F.col("l_discount").cast("decimal(8,4)"))
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    mx = per.agg(F.max("_rev").alias("_mx"))
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = per.join(F.broadcast(mx), per["_rev"] == mx["_mx"]).join(
+        sup, per["l_suppkey"] == sup["s_suppkey"]
+    )
+    return top.select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+    ).orderBy("s_suppkey")
+
+
+def _q_tpch_q17_small_qty_orders(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    whose quantity is below 20% of that part's average quantity.
+    Q17's correlated scalar subquery (avg per part) decorrelates to a
+    per-part aggregate; here it is a window over the SAME l_partkey
+    key the rows already carry — one exchange, no self-join, no second
+    scan of lineitem. The threshold uses divisionless integer math
+    (5·qty·cnt < Σqty, quantities are integral by domain) so the
+    cut-point is bit-exact on both engines — the repo's
+    no-float-rank-products rule (CLAUDE.md, value_deciles)."""
+    from pyspark.sql import Window
+
+    part_b = _read(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lib = li.join(part_b, li["l_partkey"] == part_b["p_partkey"]).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("_qty"),
+        "l_extendedprice",
+    )
+    w = Window.partitionBy("l_partkey")
+    lib = lib.withColumn("_sq", F.sum("_qty").over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w)
+    )
+    small = lib.where(
+        F.lit(5) * F.col("_qty") * F.col("_cnt") < F.col("_sq")
+    )
+    g = small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+        ).alias("_s"),
+    )
+    return g.select(
+        "n_small_lines",
+        F.round(F.col("_s").cast("double") / F.lit(7.0), 2)
+        .alias("avg_yearly"),
+    )
+
+
+def _q_tpch_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22-style dormant rich customers: customers in a nation
+    subset with above-average positive balance and no orders placed
+    since 2000-01-01 (every generated customer has SOME order, so the
+    literal no-orders-ever predicate would select zero rows at every
+    SF — the recency cutoff keeps the NOT EXISTS anti-join shape with
+    a non-degenerate answer). Scalar-aggregate threshold + NOT EXISTS
+    anti-join: the positive-balance average is a 1-row broadcast; the
+    comparison multiplies through by the count (bal·n > Σbal in
+    DECIMAL) so no division ever happens — exact on both engines even
+    at the boundary. The anti-join shuffles (custkey, nationkey, bal)
+    only; AQE may flip it to broadcast when the rich side is small, and
+    the date filter on orders is pushed to the scan."""
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(keys)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(pos)).where(
+        bal * F.col("_n") > F.col("_s")
+    )
+    dormant = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(bal).cast("double"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def _q_conversion_funnel_events(spark, sf_dir):
     """Ordered-sequence conversion funnel (suite/sessions.funnel_stages):
     per user, how far through view → click → purchase the user got,
@@ -1723,7 +1866,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_priority_class": _q_tpch_q12_priority_class,
         "tpch_q14_promo_share": _q_tpch_q14_promo_share,
         "dangling_lineitem_bloom": _q_dangling_lineitem_bloom,
-        # -- most intricate previously-green queries
+        "tpch_q13_order_counts": _q_tpch_q13_order_counts,
+        "tpch_q15_top_supplier": _q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_orders": _q_tpch_q17_small_qty_orders,
+        "tpch_q22_dormant_customers": _q_tpch_q22_dormant_customers,
+        # -- most intricate previously-green queries (the four added
+        #    above displace chunked/capped/repetition/train_split —
+        #    all r04-driver-green — past the 50-slot window)
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "shared_passages_documents": _q_shared_passages_documents,
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
@@ -3253,6 +3402,85 @@ def oracle_sql() -> dict[str, str]:
                  AS total_revenue,
                n_lines
         FROM g
+    """
+
+    out["tpch_q13_order_counts"] = """
+        WITH per AS (
+          SELECT c.c_custkey,
+                 CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per
+        GROUP BY c_count
+        ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST
+    """
+
+    out["tpch_q15_top_supplier"] = """
+        WITH per AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(8,4))
+                        - CAST(l_discount AS DECIMAL(8,4)))) AS rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name,
+               round(CAST(p.rev AS DOUBLE), 2) AS total_revenue
+        FROM per p
+        JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        WHERE p.rev = (SELECT max(rev) FROM per)
+        ORDER BY s.s_suppkey NULLS FIRST
+    """
+
+    # Q17 oracle is the DECORRELATED twin of the classic correlated
+    # scalar subquery (avg qty per part); integer threshold math
+    # (5*qty*cnt < sum) mirrors the engine exactly — no float products
+    out["tpch_q17_small_qty_orders"] = """
+        WITH lb AS (
+          SELECT l.l_partkey,
+                 CAST(l.l_quantity AS BIGINT) AS qty,
+                 l.l_extendedprice
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand = 'Brand#4'),
+        g AS (
+          SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM lb GROUP BY l_partkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+               round(CAST(sum(CAST(lb.l_extendedprice
+                                   AS DECIMAL(18,4))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly
+        FROM lb JOIN g ON lb.l_partkey = g.l_partkey
+        WHERE 5 * lb.qty * g.cnt < g.sq
+    """
+
+    out["tpch_q22_dormant_customers"] = """
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+                 CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer
+          WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        avgpos AS (
+          SELECT sum(bal) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM cust WHERE c_acctbal > 0.0),
+        rich AS (
+          SELECT c.c_custkey, c.c_nationkey, c.bal
+          FROM cust c, avgpos a WHERE c.bal * a.n > a.s),
+        d AS (
+          SELECT * FROM rich r
+          WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = r.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               round(CAST(sum(bal) AS DOUBLE), 2) AS totacctbal
+        FROM d GROUP BY c_nationkey
+        ORDER BY c_nationkey NULLS FIRST
     """
 
     # funnel: min view ts, then min click strictly after it, then min
