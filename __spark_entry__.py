@@ -1494,11 +1494,17 @@ def _q_tpch_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15-style top supplier: revenue per supplier over one
     quarter, keep the supplier(s) whose revenue EQUALS the global max —
     the having-equals-scalar-aggregate shape (Q15's revenue view +
-    max() subquery). The max is a 1-row aggregate attached by
-    broadcast, so the equality filter costs no extra shuffle beyond
-    the per-supplier agg; revenue stays DECIMAL-exact so cross-engine
-    max/equality cannot drift (ties included). Rounds to double only
-    in the final projection."""
+    max() subquery). The max is a global window over the ALREADY
+    AGGREGATED per-supplier table, not a separate ``per.agg(max)``
+    branch — a second branch re-executes the whole lineitem scan + agg
+    lineage (2 fact scans in the physical plan; plan-asserted against
+    regression). The window's move-to-one-partition step sees only
+    |suppliers| (key, decimal) rows — bounded by the dim, never the
+    fact. Revenue stays DECIMAL-exact so cross-engine max/equality
+    cannot drift (ties included); rounds to double only in the final
+    projection."""
+    from pyspark.sql import Window
+
     li = _read(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
@@ -1509,9 +1515,11 @@ def _q_tpch_q15_top_supplier(spark, sf_dir):
            - F.col("l_discount").cast("decimal(8,4)"))
     )
     per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
-    mx = per.agg(F.max("_rev").alias("_mx"))
+    per = per.withColumn(
+        "_mx", F.max("_rev").over(Window.partitionBy())
+    )
     sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    top = per.join(F.broadcast(mx), per["_rev"] == mx["_mx"]).join(
+    top = per.where(F.col("_rev") == F.col("_mx")).join(
         sup, per["l_suppkey"] == sup["s_suppkey"]
     )
     return top.select(

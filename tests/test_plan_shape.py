@@ -544,3 +544,56 @@ def _no_broadcast(spark):
         yield
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestTpchPlansRound5:
+    """Plan contracts for the Q13/Q15/Q17/Q22-style queries: each one
+    exists to exercise a specific Catalyst shape, so the shape itself
+    is pinned here — a rewrite that keeps values but loses the shape
+    (e.g. decorrelating Q17 into a second fact scan) is a regression
+    at 100 TB even though every oracle stays green."""
+
+    def _df(self, spark, key):
+        import __spark_entry__ as entry
+
+        return entry.queries()[key](spark, SF_DIR)
+
+    def test_q13_outer_join_survives_join_side_filter(self, spark):
+        """The non-urgent filter sits on the orders side of the LEFT
+        OUTER join; if it ever migrates above the join (or the join
+        degrades to inner), customers with zero qualifying orders drop
+        out of the c_count=0 bucket."""
+        plan = _plan(self._df(spark, "tpch_q13_order_counts"))
+        assert "LeftOuter" in plan, plan
+
+    def test_q15_single_fact_scan(self, spark):
+        """The global max must ride a window over the aggregated
+        per-supplier table — a separate per.agg(max) branch re-executes
+        the whole lineitem scan+agg lineage (2 fact scans)."""
+        plan = _plan(self._df(spark, "tpch_q15_top_supplier"))
+        assert plan.count("lineitem.parquet") == 1, plan
+
+    def test_q17_decorrelates_to_window_not_self_join(self, spark):
+        """Q17's correlated avg-per-part subquery must become a window
+        over the l_partkey key the rows already carry: one fact scan,
+        one Window — never a groupBy branch self-joined back (a second
+        scan) nor a row-at-a-time Python predicate."""
+        plan = _plan(self._df(spark, "tpch_q17_small_qty_orders"))
+        assert plan.count("lineitem.parquet") == 1, plan
+        assert "Window" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_q22_anti_join_with_pushed_date_filter(self, spark):
+        """The dormancy check is a LEFT ANTI join against RECENT orders
+        only; the o_orderdate cutoff must reach the orders scan as a
+        pushed filter (scanning all orders to anti-join is the 100 TB
+        mistake). The only nested-loop join allowed is the 1-row
+        scalar-threshold attachment."""
+        plan = _plan(self._df(spark, "tpch_q22_dormant_customers"))
+        assert "LeftAnti" in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+        pushed = [
+            ln for ln in plan.splitlines()
+            if "PushedFilters" in ln and "orders.parquet" in ln
+        ]
+        assert pushed and "o_orderdate" in pushed[0], plan
