@@ -1391,7 +1391,7 @@ def _q_tpch_q5_local_volume(spark, sf_dir):
     g = j.groupBy("n_name").agg(F.sum(rev).alias("_rev"))
     return g.orderBy(F.col("_rev").desc(), F.col("n_name")).select(
         "n_name",
-        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
     )
 
 
@@ -1525,7 +1525,7 @@ def _q_tpch_q15_top_supplier(spark, sf_dir):
     return top.select(
         "s_suppkey",
         "s_name",
-        F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+        F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
     ).orderBy("s_suppkey")
 
 
@@ -3369,7 +3369,7 @@ def oracle_sql() -> dict[str, str]:
             AND o.o_orderdate >= TIMESTAMP '1997-01-01'
             AND o.o_orderdate < TIMESTAMP '1998-01-01'
           GROUP BY n.n_name)
-        SELECT n_name, round(CAST(rev AS DOUBLE), 2) AS revenue
+        SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue
         FROM g ORDER BY rev DESC, n_name NULLS FIRST
     """
 
@@ -3437,7 +3437,7 @@ def oracle_sql() -> dict[str, str]:
             AND l_shipdate < TIMESTAMP '1997-04-01'
           GROUP BY l_suppkey)
         SELECT s.s_suppkey, s.s_name,
-               round(CAST(p.rev AS DOUBLE), 2) AS total_revenue
+               CAST(round(p.rev, 2) AS DOUBLE) AS total_revenue
         FROM per p
         JOIN supplier s ON p.l_suppkey = s.s_suppkey
         WHERE p.rev = (SELECT max(rev) FROM per)
@@ -3450,7 +3450,7 @@ def oracle_sql() -> dict[str, str]:
     out["tpch_q17_small_qty_orders"] = """
         WITH lb AS (
           SELECT l.l_partkey,
-                 CAST(l.l_quantity AS BIGINT) AS qty,
+                 CAST(floor(l.l_quantity) AS BIGINT) AS qty,
                  l.l_extendedprice
           FROM lineitem l
           JOIN part p ON l.l_partkey = p.p_partkey
