@@ -166,8 +166,11 @@ def _q_dangling_lineitem_bloom(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
     dim = orders.where(F.col("o_orderkey") % 2 == 0)
-    # n_keys: known analytically (half the orders) — avoids the eager
-    # count the function would otherwise run
+    # n_keys still costs one eager count, but of the UNFILTERED table
+    # with an empty projection (row-count-only scan) instead of the
+    # filtered dim count the function would run; the filter keeps half
+    # the keys, so the halved total sizes the bitmap identically. In a
+    # real deployment pass the known dim cardinality instead.
     n_keys = max(int(orders.count()) // 2, 1)
     return (
         dangling_rows_bloom(
@@ -1838,14 +1841,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate hashes
     # exactly the first 50 keys (CORRECTNESS_r03/r04 each covered keys
     # 1-50 in dict order).  Slots 1-19 hold the r3/r4 queries with no
-    # driver evidence before this round; slots 20-24 the new round-5
-    # queries; slots 25-50 the most intricate previously-green queries.
-    # 23 long-stable queries rotate out this round (the original 18
-    # plus the 5 displaced by the round-5 additions: top_docs_per_lang,
-    # heavy_clickers_not_viewers, events_value_percentiles,
-    # chi2_drift_event_types, psi_drift_event_types) and MUST rotate
-    # back next round so every query gets driver evidence within two
-    # rounds.
+    # driver evidence before this round; slots 20-28 the nine new
+    # round-5 queries (Q4/Q5/Q12/Q14 + Bloom, then the late
+    # Q13/Q15/Q17/Q22); slots 29-50 the most intricate previously-green
+    # queries.  27 long-stable queries sit past the cap this round —
+    # the original 18, the 5 displaced by the first round-5 batch
+    # (top_docs_per_lang, heavy_clickers_not_viewers,
+    # events_value_percentiles, chi2_drift_event_types,
+    # psi_drift_event_types), and the 4 displaced by the late batch
+    # (chunked_interleaved_docs, capped_docs_per_source,
+    # repetition_documents, train_split_documents).  All 27 are
+    # driver-green from r3/r4 and MUST rotate back next round so every
+    # query gets driver evidence within two rounds.
     return {
         # -- never driver-checked (r3/r4 additions) + the cured red row
         "tpch_q1_pricing": _q_tpch_q1_pricing,
@@ -3450,7 +3457,7 @@ def oracle_sql() -> dict[str, str]:
     out["tpch_q17_small_qty_orders"] = """
         WITH lb AS (
           SELECT l.l_partkey,
-                 CAST(floor(l.l_quantity) AS BIGINT) AS qty,
+                 CAST(trunc(l.l_quantity) AS BIGINT) AS qty,
                  l.l_extendedprice
           FROM lineitem l
           JOIN part p ON l.l_partkey = p.p_partkey

@@ -32,6 +32,15 @@ def run_once(cpus: int) -> dict:
         BENCH_N_DOCS=str(N_DOCS),
         BENCH_QUERIES="none",
         BENCH_DATA_DIR=DATA_DIR,
+        # pin the suite mode: bench.py defaults to the fused three-scan
+        # suite since round 5, but the scaling-efficiency series
+        # (rounds 1-5, the north-rule evidence) was measured on the
+        # classic six-phase workload — an unpinned run would compare
+        # fused numbers against classic baselines while the written
+        # BASELINE.md still claims the classic phases. Override with
+        # BENCH_SUITE=fused deliberately (and label the output) when
+        # characterizing the fused profile.
+        BENCH_SUITE=os.environ.get("BENCH_SUITE", "classic"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench.py")],

@@ -81,8 +81,17 @@ class FusedSuiteReport:
 
 def _hist_aggs(n_col: str, lo: float, hi: float, n_buckets: int):
     """Per-bucket conditional sums equivalent to ``numeric_histogram``
-    (nulls fall out of every bucket; out-of-range clamps to the edges)."""
-    b = _bucket_expr(n_col, lo, hi, n_buckets)
+    (nulls fall out of every bucket; out-of-range clamps to the edges).
+
+    The null guard is load-bearing: ``_bucket_expr`` clamps via
+    ``greatest(floor(...), 0)`` and ``greatest`` SKIPS nulls, so a NULL
+    value would land in bucket 0 instead of falling out — diverging
+    from the classic ``numeric_histogram`` path, which filters
+    ``isNotNull`` before bucketing. Wrapping in ``when(isNotNull)``
+    makes the bucket NULL for NULL input, and ``sum`` drops it."""
+    b = F.when(
+        F.col(n_col).isNotNull(), _bucket_expr(n_col, lo, hi, n_buckets)
+    )
     return [
         F.sum((b == i).cast("long")).alias(f"__b{i}")
         for i in range(n_buckets)
@@ -90,6 +99,13 @@ def _hist_aggs(n_col: str, lo: float, hi: float, n_buckets: int):
 
 
 def _kind_aggs(cat, kind_values: tuple):
+    if "__null__" in kind_values or "__other__" in kind_values:
+        raise ValueError(
+            "kind_values may not contain the reserved sentinels "
+            "'__null__' / '__other__' — NULL kinds pool under "
+            "'__null__' and unlisted kinds under '__other__', so a "
+            "real category with either name would be silently merged"
+        )
     listed = [str(k) for k in kind_values] + ["__null__"]
     aggs = [
         F.sum((cat == F.lit(k)).cast("long")).alias(f"__k_{k}")

@@ -107,6 +107,21 @@ def _bloom_maybe_flag(
     bit for the row's key is set (key POSSIBLY in dim), FALSE proves
     the key absent. Each probe is a map-side BroadcastHashJoin of the
     bitmap on the word index — the fact side never shuffles."""
+    # withColumns REPLACES same-named fact columns, and the final
+    # select(*fact.columns) would then return probe scratch values as
+    # user data — refuse loudly instead of corrupting silently
+    scratch = {
+        c
+        for i in range(n_hashes)
+        for c in (f"_w{i}", f"_b{i}", f"_word{i}")
+    }
+    clash = sorted(scratch & set(fact.columns))
+    if clash:
+        raise ValueError(
+            f"bloom probe scratch columns {clash} already exist on the "
+            "fact DataFrame — rename them before the Bloom-filtered "
+            "referential call (the probe would overwrite them)"
+        )
     out = fact
     tests = []
     for i in range(n_hashes):

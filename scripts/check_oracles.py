@@ -26,10 +26,14 @@ def _is_globally_sorted(sdf) -> bool:
     plan = sdf._jdf.queryExecution().optimizedPlan().toString()
     for line in plan.splitlines():
         s = line.lstrip("+-: ")
-        if s.startswith("Sort ") and ", true" in s.split("]")[-1]:
-            return True
+        if s.startswith("Sort "):
+            # decide at the FIRST Sort: a partition-local sort here
+            # (sortWithinPartitions, ", false") means the output order
+            # is NOT deterministic even if a global Sort sits deeper —
+            # walking past it would misread the shape as ordered
+            return ", true" in s.split("]")[-1]
         # projections preserve child order; anything else may not
-        if not (s.startswith("Project ") or s.startswith("Sort ")):
+        if not s.startswith("Project "):
             return False
     return False
 

@@ -2,8 +2,10 @@
 
 Usage: python scripts/noise_table.py /tmp/bench_r5_run*.log
 
-Each log's LAST line holding a BENCH_DETAIL prefix (or the bare
-headline JSON) is parsed; per-query timings aggregate across runs into
+Each log's LAST ``BENCH_DETAIL:``-prefixed line is parsed (the bare
+headline JSON is NOT a substitute — it carries only the top-8 query
+timings, which would skew the table; logs without a detail line are
+skipped with a notice); per-query timings aggregate across runs into
 a markdown table sorted by min descending — the shape BENCH/noise_r*.md
 records each round. Failed queries (-1.0) are excluded per-run."""
 

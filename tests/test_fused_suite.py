@@ -130,3 +130,41 @@ class TestFusedMatchesClassic:
         assert set(fused.timings) == {
             "fact_rowlocal_uniqueness", "spans_referential", "baseline_drift",
         }
+
+
+class TestFusedEdgeCases:
+    def test_hist_aggs_drop_nulls_like_numeric_histogram(self, spark):
+        """greatest() skips NULLs, so an unguarded bucket expression
+        counts NULL values into bucket 0; the classic path filters
+        isNotNull before bucketing. Both must agree on nullable input."""
+        from pyspark.sql import Observation
+
+        from schematic_spark.suite.drift import numeric_histogram
+        from schematic_spark.suite.fused import _hist_aggs
+
+        df = spark.createDataFrame(
+            [(0.0,), (None,), (3.5,), (None,), (15.9,), (99.0,)],
+            "n double",
+        )
+        obs = Observation("hist_nulls")
+        df.observe(obs, *_hist_aggs("n", 0.0, 16.0, 16)).count()
+        fused_hist = {
+            b: v for b in range(16)
+            if (v := (obs.get[f"__b{b}"] or 0)) > 0
+        }
+        classic = {
+            r["bucket"]: r["n"]
+            for r in numeric_histogram(
+                df, "n", lo=0.0, hi=16.0, n_buckets=16
+            ).collect()
+        }
+        assert fused_hist == classic
+        assert sum(fused_hist.values()) == 4  # the two NULLs fell out
+
+    def test_kind_values_reserved_sentinels_rejected(self):
+        from schematic_spark.suite.fused import _kind_aggs
+
+        with pytest.raises(ValueError, match="__null__"):
+            _kind_aggs(F.lit("x"), ("text", "__null__"))
+        with pytest.raises(ValueError, match="__other__"):
+            _kind_aggs(F.lit("x"), ("__other__",))
