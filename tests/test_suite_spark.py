@@ -230,6 +230,18 @@ class TestBloomReferential:
         with pytest.raises(ValueError, match="hashes these differently"):
             dangling_rows_bloom(fact, dim, "k", n_keys=1)
 
+    def test_probe_scratch_column_clash_rejected(self, spark):
+        # the probe joins materialize _w{i}/_b{i}/_word{i} scratch
+        # columns; withColumns would silently REPLACE a same-named fact
+        # column and the final select would return probe values as user
+        # data — must refuse instead
+        from schematic_spark.suite import dangling_rows_bloom
+
+        fact = spark.createDataFrame([(7, 1)], "k bigint, _word0 bigint")
+        dim = spark.createDataFrame([(7,)], "k bigint")
+        with pytest.raises(ValueError, match="scratch columns"):
+            dangling_rows_bloom(fact, dim, "k", n_keys=1)
+
     def test_semi_filter_superset_of_matches_and_exact_after_join(
         self, spark, docs, media
     ):
