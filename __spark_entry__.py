@@ -2842,7 +2842,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id, ts,
                      CAST(round(value * 100, 0) AS BIGINT) AS vc,
                      lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS pts
+                                   ORDER BY ts NULLS FIRST,
+                                            event_id NULLS FIRST) AS pts
               FROM events),
             m AS (
               SELECT user_id, event_id, ts, vc,
@@ -2850,7 +2851,9 @@ def oracle_sql() -> dict[str, str]:
                               OR date_diff('microsecond', pts, ts)
                                  > 86400000000
                               THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts NULLS FIRST,
+                                      event_id NULLS FIRST
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS session_idx
               FROM s)
@@ -3046,7 +3049,8 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT user_id, event_id, ts,
                      lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS pts
+                                   ORDER BY ts NULLS FIRST,
+                                            event_id NULLS FIRST) AS pts
               FROM ne),
             m AS (
               SELECT user_id, ts,
@@ -3054,7 +3058,9 @@ def oracle_sql() -> dict[str, str]:
                               OR date_diff('microsecond', pts, ts)
                                  > 86400000000
                               THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts NULLS FIRST,
+                                      event_id NULLS FIRST
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS session_idx
               FROM s),
@@ -3118,7 +3124,8 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
           SELECT lang, n_chars,
                  CAST('0x' ||
-                      substr(md5('mixr3' || doc_id), 1, 15)
+                      substr(md5('mixr3' || coalesce(
+                        CAST(doc_id AS VARCHAR), '__null_id__')), 1, 15)
                       AS BIGINT) % 10000 AS b
           FROM documents)
         SELECT lang,

@@ -38,7 +38,20 @@ def bucketed_interval_join(
     key containing it (inclusive bounds). ``how='left'`` keeps
     uncontained points with null payloads; a point inside k
     overlapping intervals emits k rows.
+
+    Only ``'inner'`` and ``'left'`` are valid: the bucket-explode
+    rewrite duplicates each interval across its covered buckets, so an
+    interval-preserving join type (right/full) would emit one all-null
+    point row PER BUCKET for unmatched intervals, and semi/anti drop
+    the interval side's columns the final projection needs — neither
+    is the semantics the name promises, so they are refused loudly.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"bucketed_interval_join supports how='inner'|'left', got "
+            f"{how!r} — the bucket explode is not semantics-preserving "
+            "for interval-preserving or semi/anti join types"
+        )
     bucket_us = bucket_seconds * 1_000_000
     p_us = epoch_micros(
         F.col(point_ts), points.schema[point_ts].dataType

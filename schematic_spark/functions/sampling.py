@@ -44,11 +44,20 @@ def weighted_sample(
     fraction; groups absent from ``fractions`` get
     ``default_fraction``. Pure projection + filter: zero shuffles,
     reproducible across engines/retries/layouts, and independent
-    samples compose via ``salt``."""
+    samples compose via ``salt``.
+
+    NULL ids carry no per-row entropy, so all NULL-id rows share ONE
+    deterministic bucket (hash of a sentinel): they survive or drop as
+    a block per group rather than being silently filtered out by the
+    NULL-propagating hash — at fraction 1.0 every row survives, as the
+    contract promises. SQL twins must mirror with
+    ``coalesce(CAST(id AS VARCHAR), '__null_id__')``."""
     from schematic_spark.functions.split import split_bucket
 
     bucket = split_bucket(
-        F.col(id_col), denominator=denominator, salt=salt
+        F.coalesce(F.col(id_col).cast("string"), F.lit("__null_id__")),
+        denominator=denominator,
+        salt=salt,
     )
     thr = F.lit(int(round(default_fraction * denominator)))
     for g, frac in fractions.items():
@@ -179,7 +188,14 @@ def cap_per_group(
     salt_buckets: int = 32,
 ) -> DataFrame:
     """At most ``n`` rows per group, by stable md5(salt + id) order
-    (ties broken by id). Output columns = input columns."""
+    (ties broken by id). Output columns = input columns.
+
+    PRECONDITION: ``id_col`` must be unique per row. Duplicate ids have
+    identical (hash, id) sort keys, so WHICH physical duplicate
+    survives the cap is partition-layout-dependent — the determinism
+    contract only holds at the id level. For tables with planted
+    duplicate ids (the generated interleaved table — CLAUDE.md), key by
+    a genuinely unique column or pre-dedupe first."""
     key = _order_key(id_col, salt)
     if two_phase:
         bucket = F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))

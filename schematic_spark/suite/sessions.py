@@ -58,9 +58,10 @@ def sessionize(
     new_session = (
         prev_us.isNull() | (ts_us - prev_us > gap_seconds * 1_000_000)
     ).cast("int")
-    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # derived from w, never re-built: two hand-built specs can drift
+    # apart in a future edit and split the lag and the running sum onto
+    # different orderings (wrong session indices, silently)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_idx", F.sum(new_session).over(running))
 
 
@@ -151,6 +152,13 @@ def funnel_stages(
             advance = (acc["stage"] == i) & (e["t"] == F.lit(s))
             if i > 0:
                 advance = advance & (e["us"] > acc["ts"])
+            else:
+                # a NULL-timestamp event must not start the funnel:
+                # stage 1 would carry reached_us NULL (contradicting
+                # "null only at stage 0") and the SQL twin's min(ts)
+                # skips NULLs, so the engines would diverge on the
+                # first null-ts step event
+                advance = advance & e["us"].isNotNull()
             out = F.when(
                 advance,
                 F.struct(F.lit(i + 1).alias("stage"), e["us"].alias("ts")),

@@ -503,3 +503,96 @@ def test_weighted_sample_rejects_bad_fraction(spark):
     df = spark.createDataFrame([("x", "g")], "doc_id string, grp string")
     with pytest.raises(ValueError):
         weighted_sample(df, group_col="grp", fractions={"g": 1.5})
+
+
+def test_order_key_and_split_bucket_share_one_md5_recipe(spark):
+    """pack_documents derives the shard from split_bucket and the sort
+    key from _order_key — two helpers in two modules that must build
+    the SAME md5(salt || id) string, because the DuckDB oracle derives
+    both from one md5 call. Pin the relationship so a recipe change in
+    either helper (a separator, a cast) breaks here instead of
+    silently decoupling shard from order."""
+    from pyspark.sql import functions as F
+
+    from schematic_spark.functions.sampling import _order_key
+    from schematic_spark.functions.split import split_bucket
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id bigint"
+    )
+    chk = df.select(
+        _order_key("doc_id", "pack").alias("key"),
+        split_bucket(F.col("doc_id"), denominator=64, salt="pack")
+        .alias("shard"),
+    ).withColumn(
+        "shard_from_key",
+        F.conv(F.substring("key", 1, 15), 16, 10).cast("bigint")
+        % F.lit(64),
+    )
+    bad = chk.where(F.col("shard") != F.col("shard_from_key")).count()
+    assert bad == 0
+
+
+def test_weighted_sample_keeps_null_ids_at_full_fraction(spark):
+    """NULL ids share one deterministic sentinel bucket instead of
+    being silently dropped by the null-propagating hash — fraction 1.0
+    must keep every row, nulls included."""
+    from schematic_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", "en"), (None, "en"), (None, "de"), ("b", "de")],
+        "doc_id string, lang string",
+    )
+    kept = weighted_sample(
+        df, group_col="lang", fractions={"en": 1.0, "de": 1.0},
+    )
+    assert kept.count() == 4
+    # and determinism: the same call keeps the same null rows
+    again = weighted_sample(
+        df, group_col="lang", fractions={"en": 1.0, "de": 1.0},
+    )
+    assert sorted(r["lang"] for r in kept.collect()) == \
+        sorted(r["lang"] for r in again.collect())
+
+
+def test_interval_join_rejects_unsupported_how(spark):
+    from schematic_spark.functions.interval import bucketed_interval_join
+
+    from datetime import datetime as _dt
+
+    pts = spark.createDataFrame(
+        [(1, _dt(2020, 1, 1))], "k bigint, ts timestamp_ntz"
+    )
+    ivs = spark.createDataFrame(
+        [(1, _dt(2020, 1, 1), _dt(2020, 1, 2))],
+        "k bigint, ts_start timestamp_ntz, ts_end timestamp_ntz",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner.*left"):
+        bucketed_interval_join(pts, ivs, on="k", how="full")
+
+
+def test_funnel_null_ts_step_does_not_start_funnel(spark):
+    """A NULL-timestamp step event must not advance stage 0→1: stage 1
+    would carry reached_us NULL while the SQL twin's min(ts) skips
+    NULLs and leaves the user at stage 0."""
+    from schematic_spark.suite.sessions import funnel_stages
+
+    from datetime import datetime as _dt
+
+    df = spark.createDataFrame(
+        [(2, None, "view"), (2, _dt(2020, 1, 1, 0, 0, 1), "click"),
+         (3, None, "view"), (3, _dt(2020, 1, 1, 0, 0, 2), "view")],
+        "user_id bigint, ts timestamp_ntz, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["stage"], r["reached_us"])
+        for r in funnel_stages(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    # user 2: null-ts view ignored, click cannot fire at stage 0
+    assert got[2] == (0, None)
+    # user 3: the later real view starts the funnel
+    assert got[3][0] == 1 and got[3][1] is not None
