@@ -70,7 +70,16 @@ def asof_join(
     left_side, right_side = (0, 1) if strict else (1, 0)
 
     payload = F.struct(*[F.col(c) for c in right_cols])
-    r_tagged = right.select(
+    # join-ON-key semantics: a NULL key never equals anything and a
+    # NULL timestamp never satisfies r.ts < l.ts, so such right rows
+    # can never legitimately match — but unfiltered they would sort to
+    # the head of the interleave (NULLS FIRST) and be carried as the
+    # payload for left rows that have no real prior match. Window
+    # partitionBy also groups NULL keys TOGETHER (unlike a join), so
+    # dropping null-key right rows is what restores never-match.
+    r_tagged = right.where(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(right_side).alias("__side"),
@@ -107,8 +116,15 @@ def asof_join(
     )
     merged = l_tagged.unionByName(r_tagged).select(
         "__side",
+        "__ts",
         "__left",
-        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+        # a null-ts LEFT row gets no payload either (r.ts < NULL is
+        # never true): in forward mode it would sort last (DESC puts
+        # nulls last) and wrongly see every right row
+        F.when(
+            F.col("__ts").isNotNull(),
+            F.last("__r", ignorenulls=True).over(w),
+        ).alias("__r"),
     )
     out = merged.where(F.col("__side") == left_side)
     return out.select(

@@ -15,6 +15,13 @@
 
 All distance math is JVM-side higher-order functions; the only Python
 is driver-side plane/centroid generation (seeded numpy).
+
+Dimension contract: vectors are assumed to share the query/plane
+dimension. ``zip_with`` pads a shorter side with NULLs, so a
+mismatched-dim vector yields NULL dot/cosine/signature and is ranked
+last or bucket-filtered out rather than erroring — validate dimensions
+upstream (``embedding_dims`` in the suite does exactly that) if mixed
+dims are possible.
 """
 
 from __future__ import annotations
@@ -65,15 +72,14 @@ def cosine_to_query(vec: Column, query: list[float]) -> Column:
     return dot / (F.greatest(vn, F.lit(1e-12)) * F.lit(qn))
 
 
-def cosine_topk(
-    df: DataFrame,
-    query: list[float],
-    k: int = 10,
-    *,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _topk(
+    df: DataFrame, query: list[float], k: int, vec_col: str, id_col: str
 ) -> DataFrame:
-    """Brute-force top-k by cosine: (id, cosine), highest first."""
+    """Shared ranking tail for every top-k path: (id, cosine), highest
+    first, deterministic id tiebreak. One copy on purpose — the
+    approximate paths must rank EXACTLY like the brute-force baseline
+    (the driver-hash oracles depend on the tiebreak), so the contract
+    lives in one place."""
     return (
         df.select(
             F.col(id_col),
@@ -84,7 +90,25 @@ def cosine_topk(
     )
 
 
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine: (id, cosine), highest first."""
+    return _topk(df, query, k, vec_col, id_col)
+
+
 def _hamming_ball(center: int, n_planes: int, radius: int) -> list[int]:
+    if not 0 <= radius <= 2:
+        raise ValueError(
+            f"probe_radius must be 0, 1 or 2 (got {radius}) — only the "
+            "radius-<=2 ball is enumerated; a silent cap would deliver "
+            "lower recall than requested"
+        )
     out = [center]
     if radius >= 1:
         for b in range(n_planes):
@@ -120,15 +144,7 @@ def lsh_topk(
     sig = hyperplane_signature(
         F.col(vec_col), dim=len(q), n_planes=n_planes, seed=seed
     )
-    return (
-        df.where(sig.isin(buckets))
-        .select(
-            F.col(id_col),
-            cosine_to_query(F.col(vec_col), query).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return _topk(df.where(sig.isin(buckets)), query, k, vec_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -156,6 +172,10 @@ def train_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_centroids: input has no vectors to train on"
+        )
     x = np.asarray([r[0] for r in rows], dtype=float)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -172,24 +192,36 @@ def train_centroids(
 def ivf_assign(
     vec: Column, centroids: np.ndarray
 ) -> Column:
-    """Nearest-centroid id (L2) — when-chain argmin, pure Catalyst."""
-    dists = []
+    """Nearest-centroid id (L2), NULL for a NULL vector — argmin as
+    array_min over (dist, idx) structs so every distance HOF tree
+    appears in the plan exactly ONCE (the earlier when-chain form
+    re-embedded `least(all dists)` in every branch: ~n²/2 fold
+    evaluations per row, the CSE-across-HOF-lambdas trap from
+    CLAUDE.md; struct array_min compares dist first, index second, so
+    equal-distance ties go to the smallest index exactly as before).
+    A one-centroid quantizer degenerates to a single struct (the old
+    F.least(*one_arg) raised at analysis)."""
+    if len(centroids) == 0:
+        raise ValueError("ivf_assign: centroids must be non-empty")
+    dist_exprs = []
     for c in centroids:
         arr = F.array(*[F.lit(float(w)) for w in c])
-        d = F.aggregate(
+        dist_exprs.append(F.aggregate(
             F.zip_with(
                 vec, arr,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        dists.append(d)
-    best = F.least(*dists)
-    expr = F.lit(len(centroids) - 1)
-    for idx in range(len(centroids) - 2, -1, -1):
-        expr = F.when(dists[idx] == best, F.lit(idx)).otherwise(expr)
-    return expr
+        ))
+    pairs = F.array(*[
+        F.struct(d.alias("d"), F.lit(i).alias("i"))
+        for i, d in enumerate(dist_exprs)
+    ])
+    # NULL vec -> every dist NULL; the when-guard keeps the assign NULL
+    # (isin() then drops the row) instead of argmin-ing garbage — the
+    # old chain fell through every NULL comparison to the LAST centroid
+    return F.when(vec.isNotNull(), F.array_min(pairs)["i"])
 
 
 def ivf_topk(
@@ -207,12 +239,4 @@ def ivf_topk(
     order = np.argsort(((centroids - q) ** 2).sum(axis=1))
     probe = [int(i) for i in order[:n_probe]]
     assign = ivf_assign(F.col(vec_col), centroids)
-    return (
-        df.where(assign.isin(probe))
-        .select(
-            F.col(id_col),
-            cosine_to_query(F.col(vec_col), query).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return _topk(df.where(assign.isin(probe)), query, k, vec_col, id_col)

@@ -195,6 +195,42 @@ class TestSimilarity:
         exact = cosine_topk(embeddings, q, k=5).collect()
         assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
 
+    def test_ivf_assign_null_vector_and_single_centroid(self, spark):
+        """NULL embeddings must get a NULL assignment (the old
+        when-chain fell through every NULL comparison to the LAST
+        centroid, letting garbage rows into probed lists); a
+        one-centroid quantizer must work (F.least used to need 2 args);
+        and equal-distance ties go to the smallest centroid index."""
+        from schematic_spark.functions.similarity import ivf_assign
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, None), (3, [2.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = np.array([[0.0, 0.0], [1.0, 0.0], [4.0, 0.0]])
+        got = {
+            r["vec_id"]: r["a"]
+            for r in df.select(
+                "vec_id",
+                ivf_assign(F.col("embedding"), cents).alias("a"),
+            ).collect()
+        }
+        # vec (2,0): dist² 4 to c0, 1 to c1, 4 to c2 → c1; the (c0,c2)
+        # tie at the argmin level is not hit, but (0,0) ties nothing
+        assert got == {1: 0, 2: None, 3: 1}
+        one = df.where("embedding is not null").select(
+            ivf_assign(F.col("embedding"), np.array([[9.0, 9.0]]))
+            .alias("a")
+        ).collect()
+        assert [r["a"] for r in one] == [0, 0]
+
+    def test_lsh_rejects_oversized_probe_radius(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.1] * 8)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="probe_radius"):
+            lsh_topk(df, [0.1] * 8, probe_radius=3)
+
     def test_embedding_near_duplicates(self, spark):
         v = [float(x) for x in np.linspace(0.1, 1.0, 16)]
         v2 = [x * 1.001 for x in v]          # same direction

@@ -506,3 +506,42 @@ def test_asof_join_differential_twin_random(spark):
             got = {r.event_id: r.rid_asof for r in out.collect()}
             exp = twin(strict, direction == "forward")
             assert got == exp, (strict, direction)
+
+
+def test_asof_join_null_ts_and_null_key_never_match(spark):
+    """Join-ON-key semantics for nulls: a null-ts right row is never a
+    valid prior (r.ts < l.ts is NULL), a null-key row never equals any
+    key, and a null-ts LEFT row gets no payload — in both directions
+    (the forward walk sorts null-ts left rows last, where an unguarded
+    carry would hand them the earliest right payload)."""
+    from schematic_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 5, _ts(10.0)),   # real prior right exists at 2.0
+            (2, 5, None),        # null-ts left → null payload
+            (3, None, _ts(9.0)), # null-key left → null payload
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (70, 5, _ts(2.0), "ok"),
+            (71, 5, None, "null-ts"),     # must never be carried
+            (72, None, _ts(1.0), "null-key"),
+        ],
+        "rid long, user_id long, ts timestamp, payload string",
+    )
+    for direction, expect_1 in (("backward", 70), ("forward", None)):
+        got = {
+            r.event_id: r.rid_asof
+            for r in asof_join(
+                left, right, on="user_id",
+                right_cols=("rid", "payload"),
+                tiebreak_col="rid", direction=direction,
+            ).collect()
+        }
+        assert got[2] is None, (direction, got)
+        assert got[3] is None, (direction, got)
+        if direction == "backward":
+            assert got[1] == expect_1, got
