@@ -73,10 +73,15 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _fake_decode_batch(payloads: "pd.Series") -> list:
-    """Whole-batch twin of :func:`_fake_decode` — identical math,
+    """Whole-batch twin of :func:`_fake_decode` — same formula,
     vectorized: all payload bytes concatenate into ONE buffer, each of
     the FEATURE_DIM cosine projections is one pass over it, and
     per-item sums come from ``np.add.reduceat`` at the item offsets.
+    NOT bit-identical to the per-item path: ``@`` (BLAS, blocked
+    summation) and ``reduceat`` (sequential) order the float64
+    accumulation differently, so a multi-KB payload can land 1 float64
+    ulp apart before the float32 cast — compare the two paths with a
+    1-ulp tolerance, never ==.
     Per-item Python cost drops to list assembly; items that a real
     codec would reject (null/empty) come back as None so the caller's
     per-item error path still fires for exactly those."""
@@ -347,18 +352,27 @@ def sample_frames(
     vids = df.where(F.col("kind").isin(*samplers.keys())).withColumn(
         "_f", _frames(F.col("payload"), F.col("kind"))
     )
+    # the NULL-element substitution also covers a sampler that returns
+    # an EMPTY list (plausible for a too-short clip): posexplode([])
+    # emits zero rows and the video would silently vanish from the
+    # output, breaking the every-payload-appears contract — it surfaces
+    # as a frame_idx -1 row with NULL frame, same as a failure
     exploded = vids.select(
         "media_id",
         F.col("_f")["frame_error"].alias("_err"),
         F.posexplode(F.coalesce(
-            F.when(F.col("_f")["frame_error"].isNull(),
-                   F.col("_f")["frames"]),
+            F.when(
+                F.col("_f")["frame_error"].isNull()
+                & (F.size(F.col("_f")["frames"]) > 0),
+                F.col("_f")["frames"],
+            ),
             F.array(F.lit(None).cast("binary")),
         )).alias("_pos", "frame"),
     )
     return exploded.select(
         "media_id",
-        F.when(F.col("_err").isNull(), F.col("_pos"))
+        F.when(F.col("_err").isNull() & F.col("frame").isNotNull(),
+               F.col("_pos"))
          .otherwise(F.lit(-1)).alias("frame_idx"),
         "frame",
     )
@@ -368,7 +382,10 @@ def synthetic_media(spark, n: int, *, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests/benches: payload bytes are a
     seeded function of the id (distributed generation, no driver loop)."""
     i = F.col("id")
-    kind = F.element_at(
+    # try_element_at, not element_at: the index is provably 1..3 today,
+    # but ANSI mode turns any future index-arithmetic edit into a
+    # runtime throw (repo rule; media_from_documents already complies)
+    kind = F.try_element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(i, F.lit(3)) + 1).cast("int"),
     )

@@ -188,10 +188,18 @@ def run_validation_checkpointed(
 
         # the violations write and the metrics agg are two actions over
         # the same compiled validation — persist the wave's annotated
-        # frame (spills to disk; wave size is bounded by commit_every)
-        # so the scan + expression trees evaluate ONCE per wave, and
-        # both outputs see the same snapshot of a mutable input
-        res.annotated.persist(StorageLevel.MEMORY_AND_DISK)
+        # frame (spills to disk) so the scan + expression trees evaluate
+        # ONCE per wave and both outputs see the same snapshot of a
+        # mutable input. ONLY when commit_every bounds the wave: with
+        # commit_every=None the "wave" is the ENTIRE input, and
+        # materializing the whole table is exactly the wrong move at
+        # the 100 TB design point — there the two actions re-scan
+        # instead (pay the validation twice, keep the cluster's disks),
+        # and snapshot consistency comes from the input_snapshot pin
+        # the caller passes. Set commit_every in any real deployment.
+        wave_bounded = bool(commit_every and commit_every > 0)
+        if wave_bounded:
+            res.annotated.persist(StorageLevel.MEMORY_AND_DISK)
 
         # pass 1: violations for the wave's buckets — ONE append, one
         # scan, bucket-partitioned files so bucket filters prune at the
@@ -213,7 +221,8 @@ def run_validation_checkpointed(
             )
             .collect()
         )
-        res.annotated.unpersist()
+        if wave_bounded:
+            res.annotated.unpersist()
         metrics_rows = [
             {
                 **meta,
@@ -310,8 +319,14 @@ def partition_passfail(spark: SparkSession, fmt: TableFormat) -> DataFrame:
     keys = ["input_snapshot", "spec_fp", "n_buckets", "bucket",
             "attempt_id"]
     m = m.join(F.broadcast(_committed_pairs(spark, fmt)), keys, "left_semi")
+    # n_buckets is part of the partition identity (the commit keys
+    # include it): without it, re-validating the same snapshot+spec at
+    # a different bucketing would merge both configs' bucket-3 rows
+    # into one inflated row with a wrong `passed` flag
     return (
-        m.groupBy("run_id", "input_snapshot", "spec_fp", "bucket")
+        m.groupBy(
+            "run_id", "input_snapshot", "spec_fp", "n_buckets", "bucket"
+        )
         .agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum(

@@ -18,67 +18,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schema.ast import SObject
 from ..validation import (
-    DECODING_ERROR_COL,
-    STRUCTURAL_COL,
     VERDICT_COL,
     VIOLATIONS_COL,
-    as_schema,
-    compile_verdict_columns,
+    exploded_error_rows,
+    validate,
 )
 
 
 def validate_stream(df: DataFrame, spec) -> DataFrame:
     """Attach _structural/_violations/_verdict/_decoding_error to a
-    streaming DataFrame. Stateless — no watermark required."""
-    from ..compiler import compile_structural, compile_violations
+    streaming DataFrame. Stateless — no watermark required.
 
-    schema = as_schema(spec)
-    if not isinstance(schema, SObject):
-        raise TypeError("top-level spec must be an object")
-    row = F.struct(*[F.col(n).alias(n) for n in schema.field_names()])
-    empty_path = F.lit("")
-    out = (
-        df
-        .withColumn(
-            STRUCTURAL_COL, compile_structural(schema, row, empty_path)
-        )
-        .withColumn(
-            VIOLATIONS_COL, compile_violations(schema, row, empty_path)
-        )
-    )
-    return (
-        out
-        .withColumn(
-            VERDICT_COL,
-            F.when(F.size(F.col(STRUCTURAL_COL)) > 0, F.lit("DecodingError"))
-            .when(F.size(F.col(VIOLATIONS_COL)) > 0, F.lit("ValidationError"))
-            .otherwise(F.lit("Valid")),
-        )
-        .withColumn(
-            DECODING_ERROR_COL,
-            F.try_element_at(F.col(STRUCTURAL_COL), F.lit(1))["error"],
-        )
-    )
+    Delegates to batch :func:`~schematic_spark.validation.validate`
+    outright: every step there is a lazy projection (stream-safe), and
+    the delegation is what keeps the stream path on the SAME entry
+    guards (verify_schema, regex preflight, conformance check, missing
+    optional-column fill, reserved-column collision) and the SAME
+    valid-mask fast path as batch. An earlier inline re-implementation
+    silently skipped all of those — the exact single-predicate rule
+    CLAUDE.md records for the mask/compiler split."""
+    return validate(df, spec).annotated
 
 
 def streaming_violations(df: DataFrame, *id_cols: str) -> DataFrame:
-    """Exploded violation rows from an annotated stream.
-
-    Same pushdown-trap avoidance as ``ValidationResult.violations``:
-    explode_outer + post-Generate null filter, so the violations tree
-    is never re-inlined into a pre-Generate Filter."""
-    v = F.explode_outer(F.col(VIOLATIONS_COL)).alias("v")
-    return (
-        df.select(*[F.col(c) for c in id_cols], v)
-        .where(F.col("v").isNotNull())
-        .select(
-            *id_cols,
-            F.col("v.path").alias("json_path"),
-            F.col("v.error").alias("error"),
-        )
-    )
+    """Exploded violation rows from an annotated stream — the shared
+    pushdown-trap-safe pattern (one copy for batch and streaming,
+    see :func:`~schematic_spark.validation.exploded_error_rows`)."""
+    return exploded_error_rows(df, VIOLATIONS_COL, *id_cols)
 
 
 def windowed_verdict_counts(

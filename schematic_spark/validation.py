@@ -91,31 +91,15 @@ class ValidationResult:
         projections (CLAUDE.md pushdown trap), re-evaluating the whole
         validation per row a second time. The isNotNull filter sits on
         the Generate's OUTPUT and cannot be pushed below it, so the
-        violations array is computed exactly once per row."""
-        v = F.explode_outer(F.col(VIOLATIONS_COL)).alias("v")
-        return (
-            self.annotated
-            .select(*[F.col(c) for c in id_cols], v)
-            .where(F.col("v").isNotNull())
-            .select(
-                *id_cols,
-                F.col("v.path").alias("json_path"),
-                F.col("v.error").alias("error"),
-            )
-        )
+        violations array is computed exactly once per row. The pattern
+        lives in :func:`exploded_error_rows`, shared with the streaming
+        path so the two cannot drift."""
+        return exploded_error_rows(self.annotated, VIOLATIONS_COL,
+                                   *id_cols)
 
     def structural_errors(self, *id_cols: str) -> DataFrame:
-        v = F.explode_outer(F.col(STRUCTURAL_COL)).alias("v")
-        return (
-            self.annotated
-            .select(*[F.col(c) for c in id_cols], v)
-            .where(F.col("v").isNotNull())
-            .select(
-                *id_cols,
-                F.col("v.path").alias("json_path"),
-                F.col("v.error").alias("error"),
-            )
-        )
+        return exploded_error_rows(self.annotated, STRUCTURAL_COL,
+                                   *id_cols)
 
     def summary(self) -> DataFrame:
         """(verdict, n_rows, n_violations) — one hash-agg pass."""
@@ -144,6 +128,30 @@ class ValidationResult:
             )
             .withColumn("passed", F.col("n_bad_rows") == 0)
         )
+
+
+def exploded_error_rows(
+    annotated: DataFrame, array_col: str, *id_cols: str
+) -> DataFrame:
+    """``(…id_cols, json_path, error)`` rows from one (path, error)
+    array column of an annotated frame — batch AND streaming share this
+    single copy of the pushdown-trap-safe pattern: explode_OUTER + a
+    post-Generate null filter, never a ``size(...) > 0`` pre-filter
+    (predicate pushdown would re-inline the whole compiled tree into
+    the Filter below the projections and evaluate the validation a
+    second time per row; the isNotNull filter sits on the Generate's
+    OUTPUT and cannot be pushed below it)."""
+    v = F.explode_outer(F.col(array_col)).alias("v")
+    return (
+        annotated
+        .select(*[F.col(c) for c in id_cols], v)
+        .where(F.col("v").isNotNull())
+        .select(
+            *id_cols,
+            F.col("v.path").alias("json_path"),
+            F.col("v.error").alias("error"),
+        )
+    )
 
 
 def compile_verdict_columns(
