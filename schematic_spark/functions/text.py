@@ -50,7 +50,16 @@ _STOPWORDS_EN = (
 def quality_features(col: Column | str) -> Column:
     """struct(n_chars, n_tokens, alpha_ratio, punct_ratio, digit_ratio,
     stopword_ratio, avg_token_len, uppercase_ratio) — the classic cheap
-    quality signals (C4/Gopher-style heuristics) as one projection."""
+    quality signals (C4/Gopher-style heuristics) as one projection.
+
+    ASCII-centric on purpose: ``[A-Za-z]`` / Java's ASCII word class
+    (backslash-w without UNICODE_CHARACTER_CLASS) mean
+    accented letters (é, ü, ñ) count as neither alpha nor word chars,
+    so non-English prose in the languages lang_id supports is penalized
+    by alpha_ratio and punct_ratio. Kept as-is because the DuckDB
+    oracle twins (RE2) share exactly these ASCII classes — a
+    Unicode-aware fix must change BOTH engines in lockstep (and the
+    score recalibration that follows), not just this one."""
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(c).cast("double")
     safe = F.greatest(n_chars, F.lit(1.0))
@@ -83,7 +92,8 @@ def quality_score(col: Column | str) -> Column:
     """Scalar [0,1] quality score from :func:`quality_features` — a
     monotone blend tuned so clean prose scores high and
     punctuation/digit soup scores low."""
-    f = quality_features(col)
+    c = F.col(col) if isinstance(col, str) else col
+    f = quality_features(c)
     length_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
     alpha = f["alpha_ratio"]
     not_punct = F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0))
@@ -93,7 +103,11 @@ def quality_score(col: Column | str) -> Column:
         length_ok * 0.2 + alpha * 0.3 + not_punct * 0.2
         + not_digit * 0.15 + stop * 0.15
     )
-    return F.round(score, 6)
+    # NULL text scores NULL, not 0.55: F.least SKIPS nulls, so the null
+    # n_tokens ratio would silently take full length credit and a null
+    # document would outscore an empty one (0.35) — let callers decide
+    # what a missing document means instead of laundering it to "fair"
+    return F.when(c.isNotNull(), F.round(score, 6))
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +251,14 @@ def shared_passage_pairs(
     self-join, so fingerprints carried by more than ``max_fp_group``
     documents are DROPPED before joining (same mitigation as the
     MinHash bucket cap: a passage that common is template noise, not
-    plagiarism signal). ``None`` disables the cap."""
+    plagiarism signal). ``None`` disables the cap.
+
+    PRECONDITION: ``id_col`` is unique per row (true of the documents
+    table; NOT of the generated interleaved table, whose doc_ids plant
+    duplicates — CLAUDE.md). Duplicate ids would multiply-count a
+    single shared fingerprint across their physical rows (inflating
+    ``n_shared`` past ``min_shared``) and same-id pairs are dropped by
+    the ``a.id < b.id`` predicate; deduplicate or re-key first."""
     # explode_OUTER, then drop the null rows: a plain explode makes the
     # optimizer infer `size(fingerprints) > 0` and predicate pushdown
     # re-expands the whole fingerprint HOF tree into that Filter
@@ -258,8 +279,6 @@ def shared_passage_pairs(
         # chain) a second time for the aggregate's partial pass. Here
         # the fingerprint computation sits below the single Exchange:
         # one pass, and the join reuses the partitioning.
-        from pyspark.sql import Window
-
         fps = (
             fps.withColumn(
                 "_n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
@@ -292,46 +311,61 @@ def repetition_features(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.trim(c), r"\s+")
-    n = whitespace_token_count(c)
-    safe_n = F.greatest(n, F.lit(1)).cast("double")
-    distinct_ratio = F.size(F.array_distinct(words)) / safe_n
 
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-    )
+    # bind the split ONCE: the features below reference the word array
+    # ~6 times, and CSE does not dedupe across HOF lambdas (CLAUDE.md),
+    # so inlining `words` everywhere re-runs the regex split per
+    # reference. A transform over a 1-element array binds the computed
+    # array to a lambda variable — every reference inside is a cheap
+    # bound-value read (the same trick winnow_fingerprints does with a
+    # materialized column, shaped for an expression-returning API).
+    def _feats(ws: Column) -> Column:
+        n = F.when(
+            F.length(F.trim(c)) == 0, F.lit(0)
+        ).otherwise(F.size(ws))
+        safe_n = F.greatest(n, F.lit(1)).cast("double")
+        distinct_ratio = F.size(F.array_distinct(ws)) / safe_n
 
-    def step(acc: Column, w: Column) -> Column:
-        run = F.when(acc["prev"] == w, acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            w.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
 
-    top_count = F.aggregate(
-        F.array_sort(words), init, step, lambda acc: acc["best"]
-    )
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    n_bi = F.size(bigrams)
-    dup_bigram_ratio = F.when(n_bi > 0,
-        1.0 - F.size(F.array_distinct(bigrams))
-        / n_bi.cast("double")
-    ).otherwise(F.lit(0.0))
-    zero = n == 0
-    return F.struct(
-        n.alias("n_words"),
-        F.when(zero, 0.0).otherwise(distinct_ratio)
-        .alias("distinct_ratio"),
-        F.when(zero, 0.0).otherwise(top_count / safe_n)
-        .alias("top_word_share"),
-        dup_bigram_ratio.alias("dup_bigram_ratio"),
-    )
+        def step(acc: Column, w: Column) -> Column:
+            run = F.when(
+                acc["prev"] == w, acc["run"] + 1
+            ).otherwise(F.lit(1))
+            return F.struct(
+                w.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top_count = F.aggregate(
+            F.array_sort(ws), init, step, lambda acc: acc["best"]
+        )
+        bigrams = F.zip_with(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        n_bi = F.size(bigrams)
+        dup_bigram_ratio = F.when(n_bi > 0,
+            1.0 - F.size(F.array_distinct(bigrams))
+            / n_bi.cast("double")
+        ).otherwise(F.lit(0.0))
+        zero = n == 0
+        return F.struct(
+            n.alias("n_words"),
+            F.when(zero, 0.0).otherwise(distinct_ratio)
+            .alias("distinct_ratio"),
+            F.when(zero, 0.0).otherwise(top_count / safe_n)
+            .alias("top_word_share"),
+            dup_bigram_ratio.alias("dup_bigram_ratio"),
+        )
+
+    return F.try_element_at(F.transform(F.array(words), _feats), F.lit(1))
 
 
 def char_entropy(col: Column | str) -> Column:

@@ -34,14 +34,26 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 def _bucket_expr(column: str, lo: float, hi: float, n_buckets: int):
+    if not hi > lo:
+        raise ValueError(
+            f"histogram range must satisfy hi > lo (got [{lo}, {hi}]) — "
+            "a zero/negative width divides to ±Inf and the int cast "
+            "throws under ANSI mode"
+        )
     col = F.col(column).cast("double")
     width = (hi - lo) / n_buckets
-    return F.least(
-        F.greatest(
-            F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
-            F.lit(0),
+    # NaN guard: isNotNull() does NOT filter NaN, and floor(NaN)
+    # .cast('int') throws under ANSI (which is ON — CLAUDE.md); a NaN
+    # value falls out of every bucket instead, like a null
+    return F.when(
+        ~F.isnan(col),
+        F.least(
+            F.greatest(
+                F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
         ),
-        F.lit(n_buckets - 1),
     )
 
 
@@ -193,7 +205,7 @@ def chi_square_from_counts(
 
 @dataclass
 class DriftReport:
-    kind: str  # 'ks' | 'chi2'
+    kind: str  # 'ks' | 'chi2' | 'psi' (psi carries p_value=NaN)
     statistic: float
     p_value: float
     drifted: bool

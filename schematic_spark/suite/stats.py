@@ -69,6 +69,14 @@ def column_stat_aggs(fields: dict, columns: list[str]) -> list:
             aggs.append(F.max(F.size(col)).cast("string").alias(f"{c}__max"))
             aggs.append(F.lit(None).cast("string").alias(f"{c}__avg"))
             aggs.append(F.avg(F.size(col)).alias(f"{c}__avglen"))
+        elif isinstance(dt, MapType):
+            # maps are not orderable in Spark — F.min/F.max would raise
+            # INVALID_ORDERING_TYPE at analysis (crashing column_stats
+            # AND the fused pass that observes the same agg list)
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__avg"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__avglen"))
         else:
             aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
@@ -126,7 +134,10 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "column",
         "n_rows",
         "n_null",
-        (F.col("n_null") / F.col("n_rows")).alias("null_rate"),
+        # zero-guarded like column_stats_from_flat (None, not 0/0=NaN)
+        # so the classic and fused paths stay identical on empty input
+        F.when(F.col("n_rows") > 0, F.col("n_null") / F.col("n_rows"))
+        .alias("null_rate"),
         "n_distinct_approx",
         "min",
         "max",

@@ -62,21 +62,39 @@ def uniqueness_report(
     df: DataFrame, *key_cols: str, salted: bool = False, salt_buckets: int = 32
 ) -> DataFrame:
     """Single-row report: (n_rows, n_distinct, n_dup_keys, n_dup_rows,
-    unique_ok)."""
-    dups = (
-        duplicate_keys_salted(df, *key_cols, salt_buckets=salt_buckets)
-        if salted
-        else duplicate_keys(df, *key_cols)
-    )
-    dup_agg = dups.agg(
-        F.count(F.lit(1)).alias("n_dup_keys"),
-        F.coalesce(F.sum("n_dup"), F.lit(0)).alias("n_dup_rows"),
-    )
-    total = df.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(*[F.col(c) for c in key_cols]).alias("n_distinct"),
-    )
+    unique_ok).
+
+    Every number derives from ONE per-key count pipeline, so NULL keys
+    are treated uniformly: a NULL key tuple is one key, exactly as
+    ``duplicate_keys``' groupBy sees it. (A ``count_distinct``-based
+    n_distinct SKIPS null tuples, breaking the invariant
+    ``n_rows == n_distinct + n_dup_rows - n_dup_keys`` the moment a
+    key is null — and as a bonus the single pipeline is one scan, not
+    two.)"""
+    if salted:
+        salt = F.pmod(
+            F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).alias("_salt")
+        grouped = (
+            df.select(*key_cols, salt)
+            .groupBy(*key_cols, "_salt")
+            .agg(F.count(F.lit(1)).alias("_partial"))
+            .groupBy(*key_cols)
+            .agg(F.sum("_partial").alias("n"))
+        )
+    else:
+        grouped = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    dup = F.col("n") > 1
     return (
-        total.crossJoin(dup_agg)
+        grouped.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.coalesce(
+                F.sum(dup.cast("long")), F.lit(0)
+            ).alias("n_dup_keys"),
+            F.coalesce(
+                F.sum(F.when(dup, F.col("n"))), F.lit(0)
+            ).alias("n_dup_rows"),
+        )
         .withColumn("unique_ok", F.col("n_dup_keys") == 0)
     )
