@@ -5,6 +5,9 @@ order-insensitive values (columns sorted by name, rows sorted).
 
 Usage: python scripts/check_oracles.py [sf_dir] [only_query_substr]
        python scripts/check_oracles.py --strict [sf_dir] [substr]
+       ... --skip=name1,name2   (exact names; for oracles whose DuckDB
+                                 side is deliberately quadratic — run
+                                 those at sf0.01 instead)
 
 ``--strict`` is driver-strength: no float rounding (bit-exact repr),
 ints stay ints (the default mode's int→float widening masked the
@@ -91,8 +94,22 @@ def norm_rows(cols, rows):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
-    strict = "--strict" in sys.argv[1:]
+    skip: set[str] = set()
+    argv = []
+    strict = False
+    for a in sys.argv[1:]:
+        if a == "--strict":
+            strict = True
+        elif a.startswith("--skip="):
+            # exact query names, comma-separated.  Exists for the few
+            # oracles whose DuckDB side is a *deliberately* quadratic
+            # certification (minhash_near_dups_documents all-pairs
+            # Jaccard: 5k docs -> 12.5M shingle-set intersections,
+            # single-threaded hours at sf0.1) — those run at sf0.01,
+            # the driver gate's scale, where they finish in seconds.
+            skip.update(x for x in a[7:].split(",") if x)
+        else:
+            argv.append(a)
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     only = argv[1] if len(argv) > 1 else ""
 
@@ -124,6 +141,9 @@ def main():
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and only not in name:
+            continue
+        if name in skip:
+            print(f"SKIP  {name} (--skip)")
             continue
         try:
             sdf = fn(spark, sf_dir)
