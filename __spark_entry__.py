@@ -166,12 +166,20 @@ def _q_dangling_lineitem_bloom(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
     dim = orders.where(F.col("o_orderkey") % 2 == 0)
-    # n_keys still costs one eager count, but of the UNFILTERED table
-    # with an empty projection (row-count-only scan) instead of the
-    # filtered dim count the function would run; the filter keeps half
-    # the keys, so the halved total sizes the bitmap identically. In a
-    # real deployment pass the known dim cardinality instead.
-    n_keys = max(int(orders.count()) // 2, 1)
+    # n_keys only SIZES the bitmap (any value yields bit-identical
+    # results — Bloom false positives die in the exact anti-join), so
+    # take the row count from the parquet footers on the driver: zero
+    # Spark jobs, zero scans, exact — the r5-VERDICT eager
+    # ``orders.count()`` (a full extra action in the query builder) is
+    # gone. The filter keeps half the keys, so the halved footer total
+    # sizes the bitmap identically to the old count. In a real
+    # deployment pass the known dim cardinality instead.
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetDataset(f"{sf_dir}/orders.parquet").read(
+        columns=[]
+    ).num_rows
+    n_keys = max(int(n_rows) // 2, 1)
     return (
         dangling_rows_bloom(
             li, dim, {"l_orderkey": "o_orderkey"}, n_keys=n_keys
@@ -468,7 +476,14 @@ def _q_embedding_near_pairs_by_label(spark, sf_dir):
     # (inside the join each would be re-evaluated per PAIR — 100× the
     # work at 100-vector blocks, worse at scale)
     emb = emb.withColumn("nrm", _norm(F.col("v")))
-    a, b = emb.alias("a"), emb.alias("b")
+    # the label self-join broadcasts the build side, so the stream side's
+    # scan partitioning is the whole stage's parallelism — a single-file
+    # embeddings table would run every per-pair cosine HOF on ONE task.
+    # Spread the stream side (data-adaptive: no-op when the scan already
+    # has enough splits); pair membership and per-pair values unchanged.
+    from schematic_spark.sources import spread_for_compute
+
+    a, b = spread_for_compute(emb).alias("a"), emb.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / F.greatest(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)
     )
@@ -597,7 +612,11 @@ def _q_media_features(spark, sf_dir):
         extract_features, media_from_documents,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    from schematic_spark.sources import spread_for_compute
+
+    # the Arrow decode UDF parallelizes per scan task — spread the
+    # single-file scan so more than one Python worker decodes
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
     feats = extract_features(media_from_documents(docs))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
@@ -694,7 +713,9 @@ def _q_media_resize_frames(spark, sf_dir):
         media_from_documents, resize_media, sample_frames,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    from schematic_spark.sources import spread_for_compute
+
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
     media = media_from_documents(docs)
     resized = resize_media(media, 64, 32)
     per_kind = resized.groupBy("kind").agg(
@@ -726,9 +747,19 @@ def _q_winnow_fingerprints_documents(spark, sf_dir):
     # the computed output instead makes the range-partitioner's
     # sampling pass execute the whole md5-gram pipeline twice (a
     # measured 30% regression on this query)
-    docs = _read(spark, sf_dir, "documents").orderBy("doc_id")
+    # parallelism shape (r6): the old input-orderBy form computed the
+    # md5 k-gram chain AFTER the range exchange, which AQE coalesces to
+    # ~1 partition for a KB-scale table — the whole hash chain ran on
+    # one core. Now: spread the scan (no-op at 100 TB file counts),
+    # fingerprint in parallel, materialize the tiny per-doc rows
+    # (localCheckpoint) so the final orderBy's range-sampling pass
+    # samples 3-column rows instead of re-executing the md5 chain, and
+    # sort LAST. Output rows and doc_id ordering are identical.
+    from schematic_spark.sources import spread_for_compute
+
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
     fp = winnow_fingerprints(docs, "text", k=8, window=4)
-    return fp.select(
+    out = fp.select(
         "doc_id",
         F.size("fingerprints").alias("n_fp"),
         F.format_string(
@@ -738,7 +769,8 @@ def _q_winnow_fingerprints_documents(spark, sf_dir):
                 lambda a, x: a.bitwiseXOR(x),
             ),
         ).alias("fp_xor_hex"),
-    )
+    ).localCheckpoint()
+    return out.orderBy("doc_id")
 
 
 def _q_shared_passages_documents(spark, sf_dir):
@@ -1720,7 +1752,11 @@ def _q_curation_funnel_documents(spark, sf_dir):
         char_entropy, quality_score, repetition_features,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    from schematic_spark.sources import spread_for_compute
+
+    # four per-row text signals in one projection — compute-dense map
+    # work; spread the single-file scan (no-op at scale)
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
     rep = repetition_features("text")
     reason = (
         F.when(~F.col("lang").isin(*_DOC_LANGS), F.lit("lang"))
@@ -1802,7 +1838,11 @@ def _q_entropy_documents(spark, sf_dir):
     no shuffle; the oracle recomputes it from per-char group counts."""
     from schematic_spark.functions import char_entropy
 
-    docs = _read(spark, sf_dir, "documents")
+    from schematic_spark.sources import spread_for_compute
+
+    # per-row char-sort fold — compute-dense, shuffle-free: spread the
+    # single-file scan so it doesn't run on one task (no-op at scale)
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_text"),

@@ -220,8 +220,18 @@ def ivf_assign(
     ])
     # NULL vec -> every dist NULL; the when-guard keeps the assign NULL
     # (isin() then drops the row) instead of argmin-ing garbage — the
-    # old chain fell through every NULL comparison to the LAST centroid
-    return F.when(vec.isNotNull(), F.array_min(pairs)["i"])
+    # old chain fell through every NULL comparison to the LAST centroid.
+    # r5 ADVICE: a NULL-ELEMENT or dim-MISMATCHED vector also NULLs
+    # every distance (zip_with pads with NULLs), and a NULL `d` sorts
+    # FIRST in the struct array_min — the row silently landed in
+    # centroid 0. Distances are all-NULL-or-none (every centroid has the
+    # same dim), so probing distance 0 decides validity for all of them
+    # at the cost of one extra fold; consulting the winner's own `d`
+    # would reference the array_min tree twice (the CSE-across-HOF trap).
+    return F.when(
+        vec.isNotNull() & dist_exprs[0].isNotNull(),
+        F.array_min(pairs)["i"],
+    )
 
 
 def ivf_topk(

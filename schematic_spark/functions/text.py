@@ -267,8 +267,12 @@ def shared_passage_pairs(
     # position, i.e. O(len²) regex+md5 evals per document. The
     # post-Generate isNotNull filter cannot be pushed below the
     # Generate, so the fingerprint projection evaluates exactly once.
+    from ..sources.layout import spread_for_compute
+
+    # the per-doc md5 k-gram chain is the map-side cost; one small
+    # input file would serialize it on a single task (no-op at scale)
     fps = winnow_fingerprints(
-        df, text_col, k=k, window=window
+        spread_for_compute(df), text_col, k=k, window=window
     ).select(
         F.col(id_col), F.explode_outer("fingerprints").alias("fp")
     ).where(F.col("fp").isNotNull())

@@ -4,7 +4,11 @@ from .bucketed import (  # noqa: F401
     write_bucketed,
 )
 from .json_ingest import MALFORMED, validate_json_strings  # noqa: F401
-from .layout import clustered_write, file_key_ranges  # noqa: F401
+from .layout import (  # noqa: F401
+    clustered_write,
+    file_key_ranges,
+    spread_for_compute,
+)
 from .checkpoint import (  # noqa: F401
     LINEAGE_TABLE,
     METRICS_TABLE,

@@ -61,3 +61,32 @@ def file_key_ranges(path: str, column: str) -> list[tuple]:
         if mn is not None:
             out.append((mn, mx))
     return sorted(out)
+
+
+def spread_for_compute(df: DataFrame, *, min_tasks: int | None = None) -> DataFrame:
+    """Fan a compute-dense per-row pipeline out to the cluster's
+    parallelism when the scan beneath it provides too few tasks.
+
+    Parquet scan parallelism is file-count/``maxPartitionBytes``-driven
+    (optimization guide §6): an input that is small ON DISK but feeds an
+    expensive per-row chain (md5 k-gram hashing, per-pair cosine HOFs,
+    SimHash vote folds) can plan as ONE scan task and serialize the
+    whole stage on a single core. A round-robin repartition before the
+    expensive projection costs one shuffle of the (tiny) raw rows and
+    unlocks every core.
+
+    Scale-adaptive by construction, NOT a local-mode constant: the
+    target is the session's ``defaultParallelism`` and the repartition
+    only fires when the existing partition count is BELOW it — at the
+    100 TB design point a scan has thousands of file splits, the
+    condition is false, and this is a no-op (no shuffle added). Row
+    membership of every downstream partition-insensitive result
+    (joins, aggregations, per-row projections) is unchanged; do not use
+    it where partition ORDER feeds results (collect_list outputs,
+    float cross-row sum tie-breaking) without checking the consumer.
+    """
+    sc = df.sparkSession.sparkContext
+    want = min_tasks or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)

@@ -65,11 +65,15 @@ def numeric_histogram(
     hi: float,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """Fixed-range bucketed counts: (bucket, n). Nulls dropped. Values
+    """Fixed-range bucketed counts: (bucket, n). Nulls AND NaNs dropped
+    (r5 ADVICE: a NaN passes ``isNotNull`` but ``_bucket_expr`` gives it
+    a NULL bucket — the groupBy then emits a (NULL, n) row that crashes
+    ``ks_from_histograms``'s sort and inflates the sample size; filter
+    it at the source like the fused ``_hist_aggs`` path does). Values
     outside [lo, hi) clamp into the edge buckets so mass is conserved."""
     col = F.col(column).cast("double")
     return (
-        df.where(col.isNotNull())
+        df.where(col.isNotNull() & ~F.isnan(col))
         .select(_bucket_expr(column, lo, hi, n_buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -282,8 +286,9 @@ def ks_drift_split(
     — use instead of two :func:`ks_drift` scans whenever both snapshots
     live in one table (time windows, A/B halves, partition parity)."""
     col = F.col(column).cast("double")
+    # NaN filtered like numeric_histogram (same r5-ADVICE leak)
     h1, h2 = _split_counts(
-        df.where(col.isNotNull()),
+        df.where(col.isNotNull() & ~F.isnan(col)),
         _bucket_expr(column, lo, hi, n_buckets),
         is_current,
         "bucket",

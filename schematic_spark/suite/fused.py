@@ -147,89 +147,121 @@ def run_fused_suite(
 ) -> FusedSuiteReport:
     """Run the full constraint suite (validate + stats + span-order +
     uniqueness + referential + KS/chi² drift) in three jobs. See the
-    module docstring for which metric rides which scan."""
+    module docstring for which metric rides which scan.
+
+    The three jobs are INDEPENDENT (disjoint outputs over two inputs),
+    so they are submitted from a small thread pool (optimization guide
+    §2.6): Spark's FIFO scheduler gives job 1 (the heavy fact pass) the
+    cluster and back-fills the tail with jobs 2/3's tasks — wall-clock
+    approaches max(job1, job2+job3) instead of their sum, and the
+    per-job Catalyst/codegen fixed cost overlaps too. Results are
+    byte-identical to sequential execution (still pinned check-by-check
+    against the classic suite in tests/test_fused_suite.py); the
+    per-phase timings keep their names but now overlap, so they sum to
+    more than the wall time."""
     timings = {}
 
+    def _timed(name, fn):
+        sc = docs.sparkSession.sparkContext
+        sc.setJobDescription(f"fused suite: {name}")
+        t0 = time.time()
+        try:
+            return fn()
+        finally:
+            timings[name] = time.time() - t0
+            sc.setJobDescription(None)
+
     # -- job 1: fact pass ------------------------------------------------
-    t0 = time.time()
-    ann = validate(docs, spec).annotated
-    obs1 = Observation("fused_rowlocal")
-    fields = {f.name: f.dataType for f in docs.schema.fields}
-    columns = list(fields)
-    exprs = [
-        F.sum((F.col(VERDICT_COL) == v).cast("long")).alias(f"__verdict_{v}")
-        for v in _VERDICTS
-    ]
-    exprs.append(F.sum(F.size(VIOLATIONS_COL)).alias("__n_violations"))
-    exprs.append(
-        F.sum(non_monotonic_flag(spans_col).cast("long")).alias("__n_nonmono")
-    )
-    exprs.extend(column_stat_aggs(fields, columns))
-    n_dup_keys = duplicate_keys_salted(
-        ann.observe(obs1, *exprs), key_col, salt_buckets=salt_buckets
-    ).count()
-    m1 = obs1.get
-    timings["fact_rowlocal_uniqueness"] = time.time() - t0
+    def job1():
+        ann = validate(docs, spec).annotated
+        obs1 = Observation("fused_rowlocal")
+        fields = {f.name: f.dataType for f in docs.schema.fields}
+        columns = list(fields)
+        exprs = [
+            F.sum((F.col(VERDICT_COL) == v).cast("long"))
+            .alias(f"__verdict_{v}")
+            for v in _VERDICTS
+        ]
+        exprs.append(F.sum(F.size(VIOLATIONS_COL)).alias("__n_violations"))
+        exprs.append(
+            F.sum(non_monotonic_flag(spans_col).cast("long"))
+            .alias("__n_nonmono")
+        )
+        exprs.extend(column_stat_aggs(fields, columns))
+        n_dup_keys = duplicate_keys_salted(
+            ann.observe(obs1, *exprs), key_col, salt_buckets=salt_buckets
+        ).count()
+        return n_dup_keys, obs1.get, columns
 
     # -- job 2: fact spans pass ------------------------------------------
-    t0 = time.time()
-    obs_hist = Observation("ks_current")
-    obs_kind = Observation("chi2_current")
-    cur = docs.select(
-        F.col(spans_col), F.size(spans_col).alias("__n_spans")
-    )
-    ex = cur.observe(
-        obs_hist, *_hist_aggs("__n_spans", ks_lo, ks_hi, ks_buckets)
-    ).select(F.explode(spans_col).alias("__span"))
-    cat = F.coalesce(
-        F.col(f"__span.{kind_col}").cast("string"), F.lit("__null__")
-    )
-    refs = ex.observe(obs_kind, *_kind_aggs(cat, kind_values)).select(
-        F.col(f"__span.{ref_col}").alias(ref_col)
-    )
-    n_dangling = dangling_rows(
-        refs.where(F.col(ref_col).isNotNull()),
-        dim,
-        ref_col,
-        broadcast=broadcast_dim,
-    ).count()
-    cur_hist = {
-        b: v
-        for b in range(ks_buckets)
-        if (v := (obs_hist.get[f"__b{b}"] or 0)) > 0
-    }
-    cur_kinds = _kind_counts(obs_kind.get, kind_values)
-    timings["spans_referential"] = time.time() - t0
+    def job2():
+        obs_hist = Observation("ks_current")
+        obs_kind = Observation("chi2_current")
+        cur = docs.select(
+            F.col(spans_col), F.size(spans_col).alias("__n_spans")
+        )
+        ex = cur.observe(
+            obs_hist, *_hist_aggs("__n_spans", ks_lo, ks_hi, ks_buckets)
+        ).select(F.explode(spans_col).alias("__span"))
+        cat = F.coalesce(
+            F.col(f"__span.{kind_col}").cast("string"), F.lit("__null__")
+        )
+        refs = ex.observe(obs_kind, *_kind_aggs(cat, kind_values)).select(
+            F.col(f"__span.{ref_col}").alias(ref_col)
+        )
+        n_dangling = dangling_rows(
+            refs.where(F.col(ref_col).isNotNull()),
+            dim,
+            ref_col,
+            broadcast=broadcast_dim,
+        ).count()
+        cur_hist = {
+            b: v
+            for b in range(ks_buckets)
+            if (v := (obs_hist.get[f"__b{b}"] or 0)) > 0
+        }
+        cur_kinds = _kind_counts(obs_kind.get, kind_values)
+        return n_dangling, cur_hist, cur_kinds
 
     # -- job 3: baseline spans pass --------------------------------------
-    t0 = time.time()
-    obs_bhist = Observation("ks_baseline")
-    bcur = baseline.select(
-        F.col(spans_col), F.size(spans_col).alias("__n_spans")
-    )
-    bex = bcur.observe(
-        obs_bhist, *_hist_aggs("__n_spans", ks_lo, ks_hi, ks_buckets)
-    ).select(F.explode(spans_col).alias("__span"))
-    bcat = F.coalesce(
-        F.col(f"__span.{kind_col}").cast("string"), F.lit("__null__")
-    )
-    base_rows = (
-        bex.select(bcat.alias("category"))
-        .groupBy("category")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    listed = {str(k) for k in kind_values} | {"__null__"}
-    base_kinds: dict = {}
-    for r in base_rows:
-        k = r["category"] if r["category"] in listed else "__other__"
-        base_kinds[k] = base_kinds.get(k, 0) + r["n"]
-    base_hist = {
-        b: v
-        for b in range(ks_buckets)
-        if (v := (obs_bhist.get[f"__b{b}"] or 0)) > 0
-    }
-    timings["baseline_drift"] = time.time() - t0
+    def job3():
+        obs_bhist = Observation("ks_baseline")
+        bcur = baseline.select(
+            F.col(spans_col), F.size(spans_col).alias("__n_spans")
+        )
+        bex = bcur.observe(
+            obs_bhist, *_hist_aggs("__n_spans", ks_lo, ks_hi, ks_buckets)
+        ).select(F.explode(spans_col).alias("__span"))
+        bcat = F.coalesce(
+            F.col(f"__span.{kind_col}").cast("string"), F.lit("__null__")
+        )
+        base_rows = (
+            bex.select(bcat.alias("category"))
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        listed = {str(k) for k in kind_values} | {"__null__"}
+        base_kinds: dict = {}
+        for r in base_rows:
+            k = r["category"] if r["category"] in listed else "__other__"
+            base_kinds[k] = base_kinds.get(k, 0) + r["n"]
+        base_hist = {
+            b: v
+            for b in range(ks_buckets)
+            if (v := (obs_bhist.get[f"__b{b}"] or 0)) > 0
+        }
+        return base_hist, base_kinds
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f1 = pool.submit(_timed, "fact_rowlocal_uniqueness", job1)
+        f2 = pool.submit(_timed, "spans_referential", job2)
+        f3 = pool.submit(_timed, "baseline_drift", job3)
+        n_dup_keys, m1, columns = f1.result()
+        n_dangling, cur_hist, cur_kinds = f2.result()
+        base_hist, base_kinds = f3.result()
 
     # -- driver-side statistics (same code paths as the classic suite) ---
     d, p = ks_from_histograms(cur_hist, base_hist)

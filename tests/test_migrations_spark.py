@@ -163,6 +163,51 @@ class TestCheckpointResume:
         assert sum(r["n_rows"] for r in rows) == 100
         assert all(not r["passed"] for r in rows)  # every bucket has bad rows
 
+    def test_fused_metrics_equal_grouped_fallback(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r6 optimization: the per-(bucket, verdict) metrics ride the
+        violations write via observe (one scan per wave). The committed
+        metrics, lineage and pass/fail report must be IDENTICAL to the
+        wide-wave grouped fallback (forced by shrinking
+        _FUSE_MAX_BUCKETS to 0)."""
+        from schematic_spark.sources import checkpoint as ckpt
+
+        df = spark.createDataFrame(
+            [(f"d{i}", [13.0] if i % 7 else [3.0]) for i in range(60)],
+            "doc_id string, foo array<double>",
+        )
+        schema = SObject((
+            ("doc_id", SText()),
+            ("foo", SArray(SNumber((NGt(10),)), (AEq(1),))),
+        ))
+
+        def run(root, fuse: bool):
+            if not fuse:
+                monkeypatch.setattr(ckpt, "_FUSE_MAX_BUCKETS", 0)
+            else:
+                monkeypatch.setattr(ckpt, "_FUSE_MAX_BUCKETS", 64)
+            fmt = ParquetDirFormat(root=str(root))
+            res = run_validation_checkpointed(
+                spark, df, schema, fmt, n_buckets=4, run_id="r",
+                input_snapshot="snap", commit_every=2,
+            )
+            pf = sorted(
+                (r["bucket"], r["n_rows"], r["n_bad_rows"],
+                 r["n_violations"], r["passed"])
+                for r in partition_passfail(spark, fmt).collect()
+            )
+            met = sorted(
+                (r["bucket"], r["verdict"], r["n_rows"], r["n_violations"])
+                for r in fmt.read(spark, ckpt.METRICS_TABLE).collect()
+            )
+            nv = fmt.read(spark, ckpt.VIOLATIONS_TABLE).count()
+            return res["totals"], pf, met, nv
+
+        fused = run(tmp_path / "fused", fuse=True)
+        grouped = run(tmp_path / "grouped", fuse=False)
+        assert fused == grouped
+
     def test_snapshot_manifest(self, spark, tmp_path):
         fmt = ParquetDirFormat(root=str(tmp_path))
         df1 = spark.range(5).select(F.col("id"))

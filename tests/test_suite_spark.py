@@ -370,6 +370,33 @@ class TestDrift:
         assert cone.statistic == ctwo.statistic
         assert cone.detail == ctwo.detail
 
+    def test_ks_drift_nan_rows_are_filtered(self, spark):
+        """r5 ADVICE: NaN passed ``isNotNull``, landed in a NULL bucket,
+        and ks_from_histograms crashed sorting None while the NaN mass
+        inflated the sample size. NaN rows must now be invisible — the
+        report equals the one computed on the NaN-free data."""
+        from schematic_spark.suite import ks_drift_split
+
+        clean = spark.range(500).select(
+            (F.pmod(F.col("id"), 50)).cast("double").alias("v"),
+            (F.col("id") % 2 == 0).alias("cur"),
+        )
+        dirty = clean.unionByName(
+            spark.range(7).select(
+                F.lit(float("nan")).alias("v"),
+                (F.col("id") % 2 == 0).alias("cur"),
+            )
+        )
+        a = ks_drift(
+            dirty.where("cur"), dirty.where("not cur"), "v", lo=0, hi=50
+        )
+        b = ks_drift(
+            clean.where("cur"), clean.where("not cur"), "v", lo=0, hi=50
+        )
+        assert (a.statistic, a.detail) == (b.statistic, b.detail)
+        sa = ks_drift_split(dirty, "v", F.col("cur"), lo=0, hi=50)
+        assert (sa.statistic, sa.detail) == (b.statistic, b.detail)
+
 
 class TestSpanOrder:
     def test_non_monotonic_detection(self, spark, docs):
