@@ -173,10 +173,11 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # the shingle+minhash chain is O(text bytes) of md5/xxhash per row;
-    # a small-on-disk corpus plans as one scan task — fan out first
-    # (no-op at scale, see spread_for_compute)
-    df = spread_for_compute(df)
+    # NO spread_for_compute here (r6, measured): the per-doc xxhash
+    # chain is light relative to this pipeline's stage count, and the
+    # fan-out's extra shuffle + 32-task stages cost MORE than the
+    # single-task compute at small scale (1.04 s → 2.26 s regression
+    # at sf0.1); at large scale the scan already has enough splits.
     # two projections: shingles FIRST as a column, signature second.
     # minhash_signature references its input once per hash function; fed
     # the raw shingle EXPRESSION it would inline (and recompute) the
@@ -259,7 +260,7 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) for pairs ≥ threshold. Joins shingle arrays
     onto the (small) candidate set, then array_intersect/array_union —
     no python."""
-    sh = spread_for_compute(df).select(
+    sh = df.select(
         F.col(id_col), tokens_column(text_col).alias("_tok")
     ).select(
         F.col(id_col),

@@ -181,7 +181,13 @@ def bloom_semi_filter(
     if n_keys is None:
         n_keys = dim.where(F.col(dk).isNotNull()).count()
     m_bits = max(64, bits_per_key * n_keys)
-    bitmap = bloom_bitmap(dim, dk, m_bits=m_bits, n_hashes=n_hashes)
+    # cached: each of the n_hashes probe joins broadcasts the bitmap
+    # separately (per-probe output aliases defeat exchange reuse), so
+    # without a cache the dim scan + bit-pack agg would execute once
+    # PER PROBE — the cache bounds it to one compute plus n_hashes
+    # reads of the O(m_bits/64)-row result (r6 plan audit: 10 bitmap
+    # builds in dangling_lineitem_bloom's plan before this)
+    bitmap = bloom_bitmap(dim, dk, m_bits=m_bits, n_hashes=n_hashes).cache()
     probed, maybe = _bloom_maybe_flag(fact, fk, bitmap, m_bits, n_hashes)
     return probed.where(maybe).select(*fact.columns)
 
@@ -233,7 +239,11 @@ def dangling_rows_bloom(
         n_keys = dim.where(F.col(dk).isNotNull()).count()
     # ≥64 bits so tiny/empty dims still build a valid 1-word bitmap
     m_bits = max(64, bits_per_key * n_keys)
-    bitmap = bloom_bitmap(dim, dk, m_bits=m_bits, n_hashes=n_hashes)
+    # cached for the same reason as bloom_semi_filter: the probe chain
+    # broadcasts the bitmap once per hash AND the proven/candidate
+    # split evaluates it in both branches — 2·n_hashes builds of the
+    # dim scan + bit-pack agg without it, one with it
+    bitmap = bloom_bitmap(dim, dk, m_bits=m_bits, n_hashes=n_hashes).cache()
     suspects = fact.where(F.col(fk).isNotNull())
     probed, maybe = _bloom_maybe_flag(suspects, fk, bitmap, m_bits, n_hashes)
     cols = list(fact.columns)
