@@ -593,11 +593,24 @@ def _q_interleaved_suite(spark, sf_dir):
 
     docs = spark.read.parquet(_interleaved_parquet(spark))
     media = media_dim(spark, _INTERLEAVED_MEDIA)
-    n_dup = duplicate_keys_salted(docs, "doc_id", salt_buckets=16).count()
+    # three independent counts — submit concurrently (guide §2.6) so
+    # each job's tail/planning back-fills the others; results identical
+    from concurrent.futures import ThreadPoolExecutor
+
     spans = exploded_spans(docs).where(F.col("media_ref").isNotNull())
-    n_dangling = dangling_rows(spans, media, "media_ref", broadcast=True) \
-        .count()
-    n_disorder = non_monotonic_docs(docs).count()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_dup = pool.submit(
+            lambda: duplicate_keys_salted(
+                docs, "doc_id", salt_buckets=16).count()
+        )
+        f_dang = pool.submit(
+            lambda: dangling_rows(
+                spans, media, "media_ref", broadcast=True).count()
+        )
+        f_dis = pool.submit(lambda: non_monotonic_docs(docs).count())
+        n_dup, n_dangling, n_disorder = (
+            f_dup.result(), f_dang.result(), f_dis.result()
+        )
     return spark.createDataFrame(
         [(n_dup, n_dangling, n_disorder)],
         "n_dup_doc_ids long, n_dangling_media long, n_out_of_order long",

@@ -133,6 +133,147 @@ def time_queries(spark, names, repeats):
     print(json.dumps(out))
 
 
+def scale_evidence(spark, factor=10):
+    """Scale-holding evidence: replicate the sf0.1 documents/embeddings
+    tables ``factor``× (perturbed ids; text reused — the compute cost
+    per row is what scales) and run the round-6-optimized operators at
+    the larger size, with the spread fan-out A/B'd and the
+    embedding-LSH bucket cap's candidate-pair bound demonstrated on a
+    planted degenerate cluster. Writes timings to stdout."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import schematic_spark.functions.dedup as dd
+    from schematic_spark.functions.text import shared_passage_pairs
+    from schematic_spark.functions.dedup import (
+        embedding_near_duplicates,
+        minhash_lsh_candidates,
+        ngram_contamination,
+        simhash_near_duplicates,
+    )
+    from schematic_spark.functions import winnow_fingerprints
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tmp = tempfile.mkdtemp(prefix="scale_ev_")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(factor).select(F.col("id").alias("_rep"))
+        )
+        .select(
+            F.concat_ws("_", "doc_id", "_rep").alias("doc_id"),
+            "text", "lang", "source",
+        )
+    )
+    # TWO files: reproduces the low-split shape that motivated
+    # spread_for_compute, at 10x the rows
+    big.repartition(2).write.mode("overwrite").parquet(f"{tmp}/docs2")
+    # 64 files: the at-scale shape — spread must be a no-op
+    big.repartition(64).write.mode("overwrite").parquet(f"{tmp}/docs64")
+    d2 = spark.read.parquet(f"{tmp}/docs2")
+    d64 = spark.read.parquet(f"{tmp}/docs64")
+    n = d2.count()
+    print(f"scale corpus: {n} docs, factor {factor}", flush=True)
+    assert d64.rdd.getNumPartitions() >= 32
+    from schematic_spark.sources import spread_for_compute
+    assert spread_for_compute(d64) is d64, "spread must no-op at 64 splits"
+    print("spread no-op at 64 splits: OK", flush=True)
+
+    out = {}
+
+    def ab(label, fn):
+        for tag, df in (("2files_spread", d2), ("64files", d64)):
+            t = time.time()
+            fn(df)
+            out[f"{label}:{tag}"] = round(time.time() - t, 3)
+            print(f"{label}:{tag}: {out[f'{label}:{tag}']}", flush=True)
+        # patch BOTH resolution points: dedup.py binds at import time,
+        # text.py resolves from the layout module at call time
+        import schematic_spark.sources.layout as lay
+
+        orig_dd, orig_lay = dd.spread_for_compute, lay.spread_for_compute
+        ident = lambda df, **k: df  # noqa: E731
+        dd.spread_for_compute = ident
+        lay.spread_for_compute = ident
+        try:
+            t = time.time()
+            fn(d2)
+            out[f"{label}:2files_nospread"] = round(time.time() - t, 3)
+            print(
+                f"{label}:2files_nospread: "
+                f"{out[f'{label}:2files_nospread']}", flush=True,
+            )
+        finally:
+            dd.spread_for_compute = orig_dd
+            lay.spread_for_compute = orig_lay
+
+    ab("simhash", lambda df: _noop(
+        simhash_near_duplicates(df, "text", "doc_id", max_hamming=1,
+                                catalyst=True)))
+    ab("shared_passages", lambda df: _noop(
+        shared_passage_pairs(df, "text", "doc_id", k=16, window=8,
+                             min_shared=3, max_fp_group=100)))
+    ab("contamination", lambda df: _noop(
+        ngram_contamination(
+            df.where(F.col("source") != "src0"),
+            df.where(F.col("source") == "src0"), n=8,
+            max_gram_group=100)))
+
+    # winnow (spread always in the entry-query path)
+    for tag, df in (("2files", d2), ("64files", d64)):
+        t = time.time()
+        _noop(winnow_fingerprints(
+            spread_for_compute(df), "text", k=8, window=4))
+        print(f"winnow:{tag}: {round(time.time() - t, 3)}", flush=True)
+
+    t = time.time()
+    n_cand = minhash_lsh_candidates(
+        d64, "text", "doc_id", num_hashes=32, bands=16).count()
+    print(
+        f"minhash_lsh:64files: {round(time.time() - t, 3)} "
+        f"candidates={n_cand} per_doc={n_cand / n:.3f}", flush=True,
+    )
+
+    # embedding LSH: 10x vectors + a planted 3000-member degenerate
+    # cluster; the cap must bound candidate work (pairs among the hot
+    # cluster would be ~4.5M uncapped)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bigv = (
+        emb.crossJoin(spark.range(factor).select(F.col("id").alias("_r")))
+        .select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    hot = spark.range(3000).select(
+        (F.col("id") + 50_000_000).alias("vec_id"),
+        F.array([F.lit(1.0)] + [F.lit(0.0)] * 63)
+        .cast("array<double>").alias("embedding"),
+    )
+    allv = bigv.unionByName(hot)
+    allv.repartition(8).write.mode("overwrite").parquet(f"{tmp}/emb")
+    allv = spark.read.parquet(f"{tmp}/emb")
+    t = time.time()
+    n_pairs = embedding_near_duplicates(
+        allv, "embedding", "vec_id", threshold=0.95, n_planes=12,
+        max_bucket_size=500,
+    ).count()
+    dt = round(time.time() - t, 3)
+    hot_alive = embedding_near_duplicates(
+        allv, "embedding", "vec_id", threshold=0.95, n_planes=12,
+        max_bucket_size=500,
+    ).where(F.col("id_a") >= 50_000_000).count()
+    print(
+        f"embedding_lsh_capped: {dt} pairs={n_pairs} "
+        f"hot_cluster_pairs={hot_alive} (cap dropped the planted "
+        f"3000-member bucket)", flush=True,
+    )
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main():
     import bench
 
@@ -147,6 +288,9 @@ def main():
         names = sys.argv[2].split(",")
         repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
         time_queries(spark, names, repeats)
+    elif mode == "scale":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        scale_evidence(spark, factor)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
