@@ -286,10 +286,19 @@ def run_validation_checkpointed(
              "n_rows": 0, "n_violations": 0}
             for b in wave if b not in seen_buckets
         ]
+        # repartition(1): createDataFrame slices a dozen local rows
+        # across defaultParallelism partitions, so an unpartitioned
+        # append wrote ~32 near-empty part-files per wave per table —
+        # which every resume/lineage/passfail read then re-lists and
+        # re-opens (guide §6 small-files tax). repartition, NOT
+        # coalesce: coalesce(1) makes ONE task evaluate all 32 pickled
+        # python partitions sequentially (~4 s/write measured);
+        # repartition evaluates them in parallel and shuffles a dozen
+        # rows to the single writer (0.4 s, one output file).
         if metrics_rows:
             fmt.write(
-                spark.createDataFrame(metrics_rows), METRICS_TABLE,
-                mode="append",
+                spark.createDataFrame(metrics_rows).repartition(1),
+                METRICS_TABLE, mode="append",
             )
 
         # pass 3 (commit point): lineage rows for the wave's buckets —
@@ -309,8 +318,8 @@ def run_validation_checkpointed(
             }
             for b in wave
         ]
-        fmt.write(spark.createDataFrame(lineage_rows), LINEAGE_TABLE,
-                  mode="append")
+        fmt.write(spark.createDataFrame(lineage_rows).repartition(1),
+                  LINEAGE_TABLE, mode="append")
 
     return {
         "run_id": run_id,
