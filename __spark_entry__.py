@@ -625,11 +625,13 @@ def _q_media_features(spark, sf_dir):
         extract_features, media_from_documents,
     )
 
-    from schematic_spark.sources import spread_for_compute
-
-    # the Arrow decode UDF parallelizes per scan task — spread the
-    # single-file scan so more than one Python worker decodes
-    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
+    # NO spread here (r6, measured): fanning the Arrow decode stage to
+    # 32 tasks makes a COLD run spawn 32 Python workers at once
+    # (pandas import × 32 under contention) — cold one-shot regressed
+    # 2.6 s → 3.4-5.4 s while only warm re-runs improved (0.63 s), and
+    # the bench protocol is cold one-shot per JVM. At scale the scan
+    # has real splits and long-lived workers amortize startup.
+    docs = _read(spark, sf_dir, "documents")
     feats = extract_features(media_from_documents(docs))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
@@ -726,9 +728,9 @@ def _q_media_resize_frames(spark, sf_dir):
         media_from_documents, resize_media, sample_frames,
     )
 
-    from schematic_spark.sources import spread_for_compute
-
-    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
+    # no spread — same cold Python-worker-fan-out reasoning as
+    # _q_media_features
+    docs = _read(spark, sf_dir, "documents")
     media = media_from_documents(docs)
     resized = resize_media(media, 64, 32)
     per_kind = resized.groupBy("kind").agg(
