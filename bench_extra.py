@@ -228,11 +228,36 @@ def scale_evidence(spark, factor=10):
         print(f"winnow:{tag}: {round(time.time() - t, 3)}", flush=True)
 
     t = time.time()
-    n_cand = minhash_lsh_candidates(
-        d64, "text", "doc_id", num_hashes=32, bands=16).count()
+    cands = minhash_lsh_candidates(
+        d64, "text", "doc_id", num_hashes=32, bands=16)
+    n_cand = cands.count()
     print(
         f"minhash_lsh:64files: {round(time.time() - t, 3)} "
         f"candidates={n_cand} per_doc={n_cand / n:.3f}", flush=True,
+    )
+    # sampled-recall certification (r5 VERDICT #5): replica clones are
+    # KNOWN near-duplicates (identical text ⇒ Jaccard 1.0), so banded
+    # LSH must surface every sampled clone pair as a candidate — an
+    # exact all-pairs oracle can't run at this size, a planted-truth
+    # sample can. Docs shorter than one shingle are excluded (they
+    # contribute no grams by contract).
+    sample = (
+        docs.where(F.length("text") > 50)
+        .select("doc_id").limit(200)
+        .select(
+            F.concat_ws("_", "doc_id", F.lit("0")).alias("id_a"),
+            F.concat_ws("_", "doc_id", F.lit("1")).alias("id_b"),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    n_sample = sample.count()
+    n_found = sample.join(cands, ["id_a", "id_b"], "left_semi").count()
+    print(
+        f"minhash_sampled_recall: {n_found}/{n_sample} planted clone "
+        f"pairs surfaced as candidates", flush=True,
     )
 
     # embedding LSH: 10x vectors + a planted 3000-member degenerate
